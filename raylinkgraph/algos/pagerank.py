@@ -1,0 +1,90 @@
+"""PageRank with NetworkX semantics.
+
+Reference: gs::PageRankNetworkX,
+analytical_engine/apps/pagerank/pagerank_networkx.h:36-167 —
+  init rank = 1/N                                  (:62-74)
+  per round, v:  sum_{(u,v)} rank(u)/out_deg(u)    (:118-133)
+  rank' = alpha*sum + (1-alpha)/N + alpha*dangling_sum/N   (:117,132)
+  dangling_sum = Σ rank(u) over out_deg(u)==0      (:82-85,159-160)
+  stop when Σ|rank'-rank| < tol*N, or after max_round rounds (:145-148)
+
+Directed graphs propagate along out-edges (the CSR build's native
+direction); undirected semantics = run on the symmetrized graph (same as
+NetworkX converting Graph -> DiGraph with both arcs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylinkgraph.bsp import Superstep
+
+
+class PageRank(Superstep):
+    name = "pagerank"
+    state_dtypes = {"rank": pa.float64(), "share": pa.float64()}
+    scatter_columns = ["share"]
+    msg_dtypes = {"val": pa.float64()}
+    scalar_names = ["dangling", "l1", "rank_sum"]
+
+    def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1e-6,
+                 max_rounds: int = 100):
+        self.n = int(n_vertices)
+        self.alpha = float(alpha)
+        self.tol = float(tol)
+        self.max_rounds = int(max_rounds)
+
+    def params(self) -> dict:
+        return {
+            "n": self.n,
+            "alpha": self.alpha,
+            "tol": self.tol,
+            "max_rounds": self.max_rounds,
+        }
+
+    def init(self, oids, out_deg):
+        n_local = len(oids)
+        rank = np.full(n_local, 1.0 / self.n)
+        share = np.divide(rank, out_deg, out=np.zeros(n_local), where=out_deg > 0)
+        partials = {
+            "dangling": float(rank[out_deg == 0].sum()),
+            "l1": float("inf") if n_local else 0.0,
+            "rank_sum": float(rank.sum()),
+        }
+        return {"rank": rank, "share": share}, partials
+
+    def scatter(self, state, block, scalars):
+        share = state["share"]
+        if len(block["udst"]) == 0:
+            return
+        per_edge = share[block["src_pos"]][block["src_code"]]
+        sums = np.add.reduceat(per_edge, block["dst_ptr"][:-1])
+        udst_pid = block["udst_pid"]
+        for q in np.unique(udst_pid):
+            m = udst_pid == q
+            yield int(q), block["udst"][m], {"val": sums[m]}
+
+    def apply(self, oids, out_deg, state, msgs, scalars):
+        n_local = len(oids)
+        agg = np.zeros(n_local)
+        if len(msgs["dst"]):
+            pos = np.searchsorted(oids, msgs["dst"])
+            agg = np.bincount(pos, weights=msgs["val"], minlength=n_local)
+        dangling = scalars["dangling"]
+        base = (1.0 - self.alpha) / self.n + self.alpha * dangling / self.n
+        new_rank = self.alpha * agg + base
+        share = np.divide(
+            new_rank, out_deg, out=np.zeros(n_local), where=out_deg > 0
+        )
+        partials = {
+            "dangling": float(new_rank[out_deg == 0].sum()),
+            "l1": float(np.abs(new_rank - state["rank"]).sum()),
+            "rank_sum": float(new_rank.sum()),
+        }
+        return {"rank": new_rank, "share": share}, partials
+
+    def converged(self, scalars, completed_rounds):
+        if completed_rounds >= self.max_rounds:
+            return True
+        return completed_rounds >= 1 and scalars["l1"] < self.n * self.tol

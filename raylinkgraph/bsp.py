@@ -1,0 +1,326 @@
+"""Generic BSP superstep driver over CSR shard blocks.
+
+The Ray-Data recast of the reference's PIE fixpoint loop
+(docs/analytical_engine/programming_model_pie.md:24-30; worker loop
+core/grape_instance.cc:314-331): the driver `for` loop is the superstep
+barrier; each superstep is ONE Ray Data execution
+
+    csr_blocks.map_batches(scatter)            # gather-scatter, vectorized,
+        .union(per-pid marker rows)            # every pid gets an apply call
+        .groupby("pid").map_groups(apply)      # message reduce + state update
+
+plus a tiny P-row collect of per-partition scalars (the analogue of
+grape::Communicator::Sum allreduce, apps/pagerank/pagerank_networkx.h:85).
+
+Messages are PRE-COMBINED inside scatter per (CSR block, target pid) —
+the combiner the reference gets from per-fragment message aggregation —
+so the all-to-all `groupby` only moves one reduced row group per
+(block, dst-partition), never per-edge rows.
+
+State lives in per-step, per-partition Parquet files
+(state/checkpoint.py): scatter/apply read step k, apply writes step k+1.
+On a multi-node cluster those files sit on shared storage, making the
+superstep state exchange identical to the checkpoint stream the north
+rule requires; nothing O(V) ever passes through the driver.
+
+An algorithm implements the ``Superstep`` protocol below — equivalent
+expressive power to Pregel-with-combiner (reference extension surface
+core/app/pregel/i_vertex_program.h:45-92), natively Arrow-batch-oriented.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raylinkgraph.stages.graph_build import LinkGraph
+from raylinkgraph.state import checkpoint as ckpt
+
+
+class Superstep:
+    """Protocol for BSP algorithms. All arrays are numpy; all methods must
+    be deterministic and order-insensitive (SURVEY.md §4 determinism)."""
+
+    name: str = "abstract"
+    #: state-file columns written next to ``oid`` (e.g. {"rank": float64})
+    state_dtypes: dict[str, pa.DataType] = {}
+    #: columns scatter actually reads from the state file (pruned read)
+    scatter_columns: list[str] = []
+    #: message payload columns (besides ``dst``)
+    msg_dtypes: dict[str, pa.DataType] = {}
+    #: names of per-partition scalar partials (reduced by summation)
+    scalar_names: list[str] = []
+
+    def params(self) -> dict:
+        return {}
+
+    def init(self, oids: np.ndarray, out_deg: np.ndarray):
+        """-> (state dict[str, np.ndarray], scalar partials dict)."""
+        raise NotImplementedError
+
+    def scatter(self, state: dict, block: dict, scalars: dict):
+        """-> iterable of (target_pid, dst: np.ndarray, payload dict)."""
+        raise NotImplementedError
+
+    def apply(self, oids, out_deg, state: dict, msgs: dict, scalars: dict):
+        """msgs has ``dst`` + payload columns (concatenated, unordered).
+        -> (new state dict, scalar partials dict)."""
+        raise NotImplementedError
+
+    def converged(self, scalars: dict, completed_rounds: int) -> bool:
+        raise NotImplementedError
+
+
+@dataclass
+class BSPResult:
+    workdir: str
+    final_step: int
+    rounds: int
+    converged: bool
+    scalars: dict
+    history: list = field(default_factory=list)
+
+    def state_ds(self) -> rd.Dataset:
+        return rd.read_parquet(ckpt.step_dir(self.workdir, self.final_step))
+
+    def state_pandas(self) -> pd.DataFrame:
+        return self.state_ds().to_pandas().sort_values("oid").reset_index(drop=True)
+
+
+def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _list_np(col, flat_dtype) -> list[np.ndarray]:
+    """large_list column -> list of numpy arrays (per row)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return [flat[offs[i] : offs[i + 1]] for i in range(len(col))]
+
+
+def _msg_schema(algo: Superstep) -> pa.Schema:
+    fields = [("pid", pa.int32()), ("dst", pa.large_list(pa.int64()))]
+    fields += [(k, pa.large_list(t)) for k, t in algo.msg_dtypes.items()]
+    return pa.schema(fields)
+
+
+def run_bsp(
+    graph: LinkGraph,
+    algo: Superstep,
+    workdir: str,
+    *,
+    max_rounds: int = 100,
+    resume: bool = True,
+    keep_steps: int = 2,
+) -> BSPResult:
+    """Run `algo` to convergence (or max_rounds) over `graph`.
+
+    Checkpoints every superstep; resumes from the latest complete step
+    when `resume` and the lineage (algo, params, graph digest, P) matches.
+    """
+    P = graph.P
+    params = algo.params()
+    digest = graph.digest()
+    graph_dir = graph.graph_dir
+    os.makedirs(workdir, exist_ok=True)
+    msg_schema = _msg_schema(algo)
+    scalar_names = list(algo.scalar_names)
+    history: list[dict] = []
+
+    start = ckpt.latest_complete_step(workdir, algo.name, params, digest, P) if resume else None
+    if start is not None:
+        step, lin = start
+        scalars = dict(lin["scalars"])
+        history.append(scalars)
+    else:
+        step = 0
+        scalars = _run_init(graph, algo, workdir, scalar_names)
+        ckpt.write_lineage(
+            workdir, 0, ckpt.lineage_for(algo.name, params, digest, P, 0, scalars)
+        )
+        history.append(scalars)
+
+    csr = graph.csr_ds()
+    rounds_done = step
+    converged = algo.converged(scalars, rounds_done)
+    while not converged and rounds_done < max_rounds:
+        cur, nxt = rounds_done, rounds_done + 1
+        scatter_fn = _make_scatter(algo, workdir, cur, dict(scalars))
+        apply_fn = _make_apply(algo, graph_dir, workdir, cur, nxt, dict(scalars), scalar_names)
+        markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
+            _make_markers(msg_schema), batch_format="pyarrow"
+        )
+        out = (
+            csr.map_batches(scatter_fn, batch_format="pyarrow")
+            .union(markers)
+            .groupby("pid")
+            .map_groups(apply_fn, batch_format="pyarrow")
+        )
+        rows = out.to_pandas()
+        scalars = {k: float(rows[k].sum()) for k in scalar_names}
+        ckpt.write_lineage(
+            workdir, nxt, ckpt.lineage_for(algo.name, params, digest, P, nxt, scalars)
+        )
+        history.append(scalars)
+        rounds_done = nxt
+        converged = algo.converged(scalars, rounds_done)
+        ckpt.prune_steps(workdir, keep_from=max(0, nxt - keep_steps + 1))
+
+    return BSPResult(
+        workdir=workdir,
+        final_step=rounds_done,
+        rounds=rounds_done,
+        converged=converged,
+        scalars=scalars,
+        history=history,
+    )
+
+
+def _run_init(graph: LinkGraph, algo: Superstep, workdir: str, scalar_names) -> dict:
+    graph_dir, P = graph.graph_dir, graph.P
+
+    def init_batch(batch: pa.Table) -> pa.Table:
+        out = {"pid": [], **{k: [] for k in scalar_names}}
+        for pid in batch.column("id").to_pylist():
+            pid = int(pid)
+            vs = pq.read_table(
+                os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
+            )
+            oids = _np(vs.column("oid"))
+            deg = _np(vs.column("out_deg"))
+            state, partials = algo.init(oids, deg)
+            cols = {"oid": pa.array(oids, pa.int64())}
+            for k, t in algo.state_dtypes.items():
+                cols[k] = pa.array(state[k], t)
+            ckpt.write_state(workdir, 0, pid, pa.table(cols))
+            out["pid"].append(pid)
+            for k in scalar_names:
+                out[k].append(float(partials.get(k, 0.0)))
+        return pa.table(
+            {
+                "pid": pa.array(out["pid"], pa.int32()),
+                **{k: pa.array(out[k], pa.float64()) for k in scalar_names},
+            }
+        )
+
+    rows = (
+        rd.range(P, override_num_blocks=max(1, min(P, 32)))
+        .map_batches(init_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {k: float(rows[k].sum()) for k in scalar_names}
+
+
+def _make_markers(msg_schema: pa.Schema):
+    def markers(batch: pa.Table) -> pa.Table:
+        pids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int32)
+        n = len(pids)
+        cols = {"pid": pa.array(pids, pa.int32())}
+        for f in msg_schema:
+            if f.name == "pid":
+                continue
+            cols[f.name] = pa.array([[]] * n, f.type)
+        return pa.table(cols, schema=msg_schema)
+
+    return markers
+
+
+def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
+    msg_schema = _msg_schema(algo)
+    scatter_cols = list(algo.scatter_columns)
+    payload_names = list(algo.msg_dtypes.keys())
+
+    def scatter_batch(batch: pa.Table) -> pa.Table:
+        state_cache: dict[int, dict] = {}
+        out = {f.name: [] for f in msg_schema}
+        pids = batch.column("pid").to_pylist()
+        src_pos = _list_np(batch.column("src_pos"), np.int64)
+        src_code = _list_np(batch.column("src_code"), np.int32)
+        dst_ptr = _list_np(batch.column("dst_ptr"), np.int64)
+        udst = _list_np(batch.column("udst"), np.int64)
+        udst_pid = _list_np(batch.column("udst_pid"), np.int32)
+        for i, pid in enumerate(pids):
+            pid = int(pid)
+            st = state_cache.get(pid)
+            if st is None:
+                t = ckpt.read_state(workdir, step, pid, columns=scatter_cols)
+                st = {c: _np(t.column(c)) for c in scatter_cols}
+                state_cache[pid] = st
+            block = {
+                "pid": pid,
+                "src_pos": src_pos[i],
+                "src_code": src_code[i],
+                "dst_ptr": dst_ptr[i],
+                "udst": udst[i],
+                "udst_pid": udst_pid[i],
+            }
+            for q, dst, payload in algo.scatter(st, block, scalars):
+                out["pid"].append(int(q))
+                out["dst"].append(dst)
+                for k in payload_names:
+                    out[k].append(payload[k])
+        cols = {"pid": pa.array(np.asarray(out["pid"], np.int32), pa.int32())}
+        cols["dst"] = pa.array(out["dst"], pa.large_list(pa.int64()))
+        for k in payload_names:
+            cols[k] = pa.array(out[k], pa.large_list(algo.msg_dtypes[k]))
+        return pa.table(cols, schema=msg_schema)
+
+    return scatter_batch
+
+
+def _make_apply(
+    algo: Superstep,
+    graph_dir: str,
+    workdir: str,
+    step: int,
+    next_step: int,
+    scalars: dict,
+    scalar_names: list[str],
+):
+    payload_names = list(algo.msg_dtypes.keys())
+    state_names = list(algo.state_dtypes.keys())
+
+    def apply_group(g: pa.Table) -> pa.Table:
+        pid = int(g.column("pid")[0].as_py())
+        dst_col = g.column("dst")
+        if isinstance(dst_col, pa.ChunkedArray):
+            dst_col = dst_col.combine_chunks()
+        msgs = {"dst": dst_col.values.to_numpy(zero_copy_only=False)}
+        for k in payload_names:
+            c = g.column(k)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            msgs[k] = c.values.to_numpy(zero_copy_only=False)
+        vs = pq.read_table(
+            os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
+        )
+        oids = _np(vs.column("oid"))
+        deg = _np(vs.column("out_deg"))
+        old_t = ckpt.read_state(workdir, step, pid)
+        old = {c: _np(old_t.column(c)) for c in state_names}
+        new_state, partials = algo.apply(oids, deg, old, msgs, scalars)
+        cols = {"oid": pa.array(oids, pa.int64())}
+        for k, t in algo.state_dtypes.items():
+            cols[k] = pa.array(new_state[k], t)
+        ckpt.write_state(workdir, next_step, pid, pa.table(cols))
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                **{
+                    k: pa.array([float(partials.get(k, 0.0))], pa.float64())
+                    for k in scalar_names
+                },
+            }
+        )
+
+    return apply_group

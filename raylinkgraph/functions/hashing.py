@@ -1,0 +1,45 @@
+"""Stable, vectorized hash functions for partitioning.
+
+Python's builtin ``hash`` is salted per-process and must never be used for
+data placement; these are fixed, documented mixers so partition assignment
+is identical across processes, runs, and parallelism levels (the
+reference's HashPartitioner plays the same role,
+analytical_engine/core/utils/partitioner.h:32-36).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over an int64/uint64 array -> uint64 array."""
+    z = x.astype(_U64, copy=True)
+    z += _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    z = z ^ (z >> _U64(31))
+    return z
+
+
+def partition_of(oids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Home partition id for each vertex oid (int64 array) -> int32 array."""
+    return (splitmix64(oids) % _U64(num_partitions)).astype(np.int32)
+
+
+def pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit hash of int64 pairs (for exact edge dedup keys)."""
+    return splitmix64(splitmix64(a) ^ b.astype(_U64))
+
+
+def crc32_str(values) -> np.ndarray:
+    """crc32 over utf-8 bytes of each string -> uint32 array. Used for url
+    partitioning in the vertex map; stable across runs and platforms."""
+    out = np.empty(len(values), dtype=np.uint32)
+    for i, v in enumerate(values):
+        out[i] = zlib.crc32(v.encode("utf-8"))
+    return out

@@ -1,0 +1,95 @@
+"""Distributed HTML extraction: a stateful actor-pool `map_batches` stage.
+
+The per-row invariant (BASELINE.json `input_hint`): for every url the
+distributed output `text` is byte-identical to the single-process pinned
+extractor (raylinkgraph.extract.extract) on the same html bytes, at any
+parallelism.
+
+The stage is a callable CLASS so it runs as a Ray actor pool: parser
+machinery is constructed once per actor in ``__init__`` (amortized across
+batches), work happens per batch in ``__call__``. The wide ``html`` binary
+column is dropped on output — it must never travel past this stage
+(SURVEY.md §7 known-hard #6).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from raylinkgraph.extract import extract
+
+
+class ExtractPages:
+    """pages(url, html, lang) -> (url, text, lang, links:list<string>)."""
+
+    def __init__(self) -> None:
+        # The pinned extractor is pure; per-actor state is just the bound
+        # function (kept as an attribute so future model-backed extractors
+        # slot in here without changing the pipeline shape).
+        self._extract = extract
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts: list[str] = []
+        links: list[list[str]] = []
+        for url, html in zip(urls, htmls):
+            t, ls = self._extract(html, url)
+            texts.append(t)
+            links.append(ls)
+        cols = {
+            "url": batch.column("url"),
+            "text": pa.array(texts, pa.string()),
+            "links": pa.array(links, pa.large_list(pa.string())),
+        }
+        if "lang" in batch.column_names:
+            cols["lang"] = batch.column("lang")
+        return pa.table(cols)
+
+
+def extract_pages(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """Run the extraction actor pool over a pages Dataset.
+
+    ``batch_size`` is small because html payloads are wide; tune so
+    batch_size x concurrency of raw html fits comfortably in worker heaps.
+    """
+    return pages.map_batches(
+        ExtractPages,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def text_table(extracted: rd.Dataset) -> rd.Dataset:
+    """(url, text, lang) view — the text_table of FIXTURES.md §B3."""
+    return extracted.select_columns(["url", "text", "lang"])
+
+
+def link_pairs(extracted: rd.Dataset) -> rd.Dataset:
+    """Explode links -> (src_url, dst_url) rows, self-loops dropped.
+
+    Vectorized: uses the Arrow list layout (parent indices + flattened
+    values), no per-row Python loop.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        links = batch.column("links")
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = links.flatten()
+        parents = pa.compute.list_parent_indices(links)
+        src = batch.column("url").take(parents)
+        out = pa.table({"src_url": src, "dst_url": flat})
+        return out.filter(pa.compute.not_equal(out["src_url"], out["dst_url"]))
+
+    return extracted.select_columns(["url", "links"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
