@@ -1,0 +1,100 @@
+"""End-to-end link-graph pipeline: pages parquet -> text -> edges -> CSR
+-> {PageRank, WCC, CDLP, triangles}.
+
+This is the flagship pipeline of the north rule: Common-Crawl-style pages
+are parsed with a stateful actor-pool `map_batches` (byte-identical text
+per url vs the pinned extractor), links resolved into a deduplicated
+(src_id, dst_id) edge table via the deterministic vertex map, CSR shards
+built by groupby-shuffle on hash(src) with super-node splitting, and the
+iterative algorithms run as BSP rounds with per-superstep checkpoints.
+
+The wide `html` column never crosses a shuffle: it is read once, consumed
+by the extraction stage, and dropped (SURVEY.md §7 known-hard #6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from raylinkgraph.algos import CDLP, WCC, PageRank
+from raylinkgraph.bsp import BSPResult, run_bsp
+from raylinkgraph.stages.extract_stage import extract_pages, link_pairs, text_table
+from raylinkgraph.stages.graph_build import LinkGraph
+from raylinkgraph.stages.vertex_map import attach_gids, build_vertex_map
+
+
+def build_linkgraph_from_pages(
+    pages_path: str,
+    out_dir: str,
+    *,
+    P: int = 32,
+    vmap_partitions: int = 64,
+    extract_concurrency: int | tuple[int, int] = 4,
+    extract_batch_size: int = 256,
+    symmetrize: bool = False,
+    max_edges_per_block: int = 1 << 20,
+    write_text_table: bool = True,
+) -> tuple[LinkGraph, rd.Dataset]:
+    """pages parquet -> (built LinkGraph, vertex_map Dataset).
+
+    Artifacts under out_dir: text_table/ (url,text,lang), vertex_map/
+    (url,gid), and the graph dir (edges/vertexstate/csr + meta.json).
+    """
+    pages = rd.read_parquet(pages_path, columns=["url", "html", "lang"])
+    extracted = extract_pages(
+        pages, concurrency=extract_concurrency, batch_size=extract_batch_size
+    )
+    if write_text_table:
+        text_table(extracted).write_parquet(os.path.join(out_dir, "text_table"))
+    pairs = link_pairs(extracted)
+    vmap = build_vertex_map(pairs, vmap_partitions=vmap_partitions).materialize()
+    vmap.write_parquet(os.path.join(out_dir, "vertex_map"))
+    edges = attach_gids(pairs, vmap)
+    graph = LinkGraph.build(
+        edges,
+        os.path.join(out_dir, "graph" + ("-und" if symmetrize else "")),
+        P=P,
+        symmetrize=symmetrize,
+        max_edges_per_block=max_edges_per_block,
+    )
+    return graph, vmap
+
+
+def undirected_view(graph: LinkGraph, out_dir: str, **kwargs) -> LinkGraph:
+    """Symmetrized copy of a built graph (for WCC/CDLP/triangles), built
+    from its deduped edge table — the `to_undirected` op of SURVEY.md §2.1
+    (dag_utils.py:611) as union-with-swapped-endpoints + dedup."""
+    return LinkGraph.build(
+        graph.edges_ds(),
+        out_dir,
+        P=graph.P,
+        symmetrize=True,
+        max_edges_per_block=int(graph.meta.get("max_edges_per_block", 1 << 20)),
+        **kwargs,
+    )
+
+
+def run_pagerank(
+    graph: LinkGraph, workdir: str, *, alpha=0.85, tol=1e-6, max_rounds=100, **kw
+) -> BSPResult:
+    return run_bsp(
+        graph,
+        PageRank(graph.n_vertices, alpha=alpha, tol=tol, max_rounds=max_rounds),
+        workdir,
+        max_rounds=max_rounds,
+        **kw,
+    )
+
+
+def run_wcc(graph: LinkGraph, workdir: str, *, max_rounds=10_000, **kw) -> BSPResult:
+    if not graph.meta.get("symmetrize"):
+        raise ValueError("WCC requires a symmetrized graph (undirected_view)")
+    return run_bsp(graph, WCC(max_rounds=max_rounds), workdir, max_rounds=max_rounds, **kw)
+
+
+def run_cdlp(graph: LinkGraph, workdir: str, *, max_rounds=10, **kw) -> BSPResult:
+    if not graph.meta.get("symmetrize"):
+        raise ValueError("CDLP requires a symmetrized graph (undirected_view)")
+    return run_bsp(graph, CDLP(max_rounds=max_rounds), workdir, max_rounds=max_rounds, **kw)
