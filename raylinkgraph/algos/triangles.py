@@ -1,0 +1,249 @@
+"""Per-vertex triangle counting: degree-ordered orientation + 3-join dataflow.
+
+Reference: gs::Triangles, analytical_engine/apps/clustering/triangles.h:30-162
+— stage 1 keeps neighbor u in v's oriented neighborhood iff deg(u)<deg(v)
+or (deg(u)==deg(v) and id(u)<id(v)) (:70-94); stage 2 intersects oriented
+lists (:110-139); stage 3 sums counts back (:148-153). The same
+orientation here bounds the wedge join (every oriented out-degree is
+O(sqrt(E))), our explicit skew guard for super-nodes.
+
+Ray-Data recast (SURVEY.md §2.2 triangles row): all stages are Dataset
+shuffles — no broadcast of any O(V) or O(E) structure, so the dataflow
+holds at 10^12-edge scale:
+
+  1. attach deg(dst) via groupby(hash(dst) % P)     (one shuffle)
+  2. attach deg(src), orient, write oriented-{pid}  (one shuffle)
+  3. wedge expansion per oriented adjacency (vectorized pair explosion)
+     -> candidates (x, y, apex) keyed by hash(x) % P
+  4. groupby + per-partition hash join against the oriented edge set
+     -> confirmed triangles -> per-vertex count rows (pre-combined)
+  5. groupby(hash(v) % P) sum -> (oid, tricnt) with zeros for the rest
+
+Input must be a symmetrized LinkGraph (its edge files hold both
+directions; out_deg == undirected degree).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raylinkgraph.functions.hashing import partition_of
+from raylinkgraph.stages.graph_build import LinkGraph, _atomic_write
+
+
+def _vertexstate(graph_dir: str, pid: int) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(
+        os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
+    )
+    return (
+        t.column("oid").to_numpy(zero_copy_only=False),
+        t.column("out_deg").to_numpy(zero_copy_only=False),
+    )
+
+
+def run_triangles(graph: LinkGraph, workdir: str) -> pd.DataFrame:
+    """-> (oid, tricnt) for every vertex, sorted by oid."""
+    if not graph.meta.get("symmetrize"):
+        raise ValueError("triangles requires a symmetrized graph")
+    P = graph.P
+    graph_dir = graph.graph_dir
+    os.makedirs(os.path.join(workdir, "oriented"), exist_ok=True)
+
+    # ---- stages 1+2: orient edges by (deg, id) ---------------------------
+    def tag_dst(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("pid", pa.array(partition_of(dst, P), pa.int32()))
+
+    def attach_deg_dst(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        oids, deg = _vertexstate(graph_dir, pid)
+        dst = g["dst_id"].to_numpy(np.int64)
+        g = g[["src_id", "dst_id"]].copy()
+        g["deg_dst"] = deg[np.searchsorted(oids, dst)]
+        return g
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("pid", pa.array(partition_of(src, P), pa.int32()))
+
+    def orient_and_store(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        oids, deg = _vertexstate(graph_dir, pid)
+        src = g["src_id"].to_numpy(np.int64)
+        dst = g["dst_id"].to_numpy(np.int64)
+        deg_dst = g["deg_dst"].to_numpy(np.int64)
+        deg_src = deg[np.searchsorted(oids, src)]
+        keep = (deg_src < deg_dst) | ((deg_src == deg_dst) & (src < dst))
+        src, dst, deg_dst = src[keep], dst[keep], deg_dst[keep]
+        order = np.lexsort((dst, deg_dst, src))  # src-major, nbrs by (deg,id)
+        t = pa.table(
+            {
+                "src": pa.array(src[order], pa.int64()),
+                "dst": pa.array(dst[order], pa.int64()),
+                "deg_dst": pa.array(deg_dst[order], pa.int64()),
+            }
+        )
+        _atomic_write(t, os.path.join(workdir, "oriented", f"oriented-{pid:05d}.parquet"))
+        return pd.DataFrame({"pid": [pid], "n": [len(src)]})
+
+    oriented_counts = (
+        graph.edges_ds()
+        .map_batches(tag_dst, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(attach_deg_dst, batch_format="pandas")
+        .map_batches(tag_src, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(orient_and_store, batch_format="pandas")
+    ).to_pandas()
+    present = set(oriented_counts["pid"].tolist())
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "deg_dst": pa.array([], pa.int64()),
+        }
+    )
+    for pid in range(P):
+        if pid not in present:
+            _atomic_write(
+                empty, os.path.join(workdir, "oriented", f"oriented-{pid:05d}.parquet")
+            )
+
+    # ---- stage 3: wedge expansion ---------------------------------------
+    # Driven per partition FILE (not per map batch): a source's adjacency
+    # must stay whole for the pair expansion, and batch boundaries would
+    # split it. Output streams out in bounded chunks via a generator.
+    def wedges(batch: pa.Table):
+        empty = pa.table(
+            {
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "apex": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int32()),
+            }
+        )
+        any_out = False
+        for pid in batch.column("id").to_pylist():
+            t = pq.read_table(
+                os.path.join(workdir, "oriented", f"oriented-{int(pid):05d}.parquet"),
+                columns=["src", "dst"],
+            )
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            if len(src) == 0:
+                continue
+            # segments of equal src (file is src-major, nbrs (deg,id)-sorted)
+            is_new = np.r_[True, np.diff(src) != 0]
+            starts = np.flatnonzero(is_new)
+            seg_of = np.cumsum(is_new) - 1
+            seg_len = np.diff(np.r_[starts, len(src)])
+            idx_in_seg = np.arange(len(src)) - starts[seg_of]
+            # each element pairs with every later element of its segment
+            n_partners = seg_len[seg_of] - idx_in_seg - 1
+            total = int(n_partners.sum())
+            if total == 0:
+                continue
+            first = np.repeat(np.arange(len(src)), n_partners)
+            base = np.repeat(np.cumsum(n_partners) - n_partners, n_partners)
+            off = np.arange(total) - base + 1
+            second = first + off
+            x, y, apex = dst[first], dst[second], src[first]
+            chunk = 4_000_000
+            for lo in range(0, total, chunk):
+                hi = min(lo + chunk, total)
+                any_out = True
+                yield pa.table(
+                    {
+                        "x": pa.array(x[lo:hi], pa.int64()),
+                        "y": pa.array(y[lo:hi], pa.int64()),
+                        "apex": pa.array(apex[lo:hi], pa.int64()),
+                        "pid": pa.array(partition_of(x[lo:hi], P), pa.int32()),
+                    }
+                )
+        if not any_out:
+            yield empty
+
+    # ---- stage 4: semi-join candidates against oriented edges -----------
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        o = pq.read_table(
+            os.path.join(workdir, "oriented", f"oriented-{pid:05d}.parquet"),
+            columns=["src", "dst"],
+        ).to_pandas()
+        hit = g.merge(
+            o.rename(columns={"src": "x", "dst": "y"}), on=["x", "y"], how="inner"
+        )
+        if len(hit) == 0:
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64), "cnt": pd.Series([], dtype=np.int64)})
+        vs = np.concatenate(
+            [hit["x"].to_numpy(np.int64), hit["y"].to_numpy(np.int64), hit["apex"].to_numpy(np.int64)]
+        )
+        uv, cnt = np.unique(vs, return_counts=True)
+        return pd.DataFrame({"v": uv, "cnt": cnt.astype(np.int64)})
+
+    counts = (
+        rd.range(P, override_num_blocks=P)
+        .map_batches(wedges, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(check, batch_format="pandas")
+    )
+
+    # ---- stage 5: per-vertex sum + zero-fill ----------------------------
+    def tag_v(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return batch.append_column("pid", pa.array(partition_of(v, P), pa.int32()))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        g = g[g["v"] >= 0]  # drop marker rows
+        oids, _ = _vertexstate(graph_dir, pid)
+        agg = g.groupby("v")["cnt"].sum()
+        out = np.zeros(len(oids), np.int64)
+        pos = np.searchsorted(oids, agg.index.to_numpy(np.int64))
+        out[pos] = agg.to_numpy(np.int64)
+        return pd.DataFrame({"oid": oids, "tricnt": out})
+
+    # markers so every partition emits its (possibly all-zero) vertices
+    markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
+        lambda b: pa.table(
+            {
+                "v": pa.array(np.full(len(b), -1), pa.int64()),
+                "cnt": pa.array(np.zeros(len(b), np.int64)),
+                "pid": pa.array(
+                    b.column("id").to_numpy(zero_copy_only=False).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    result = (
+        counts.map_batches(tag_v, batch_format="pyarrow")
+        .union(markers)
+        .groupby("pid")
+        .map_groups(finalize, batch_format="pandas")
+    )
+    return result.to_pandas().sort_values("oid").reset_index(drop=True)
+
+
+def lcc_from_triangles(graph: LinkGraph, tri: pd.DataFrame) -> pd.DataFrame:
+    """Local clustering coefficient: lcc = 2*tri / (deg*(deg-1)), deg = the
+    undirected degree (reference grape::LCC semantics, SURVEY.md §2.2)."""
+    parts = []
+    for pid in range(graph.P):
+        oids, deg = _vertexstate(graph.graph_dir, pid)
+        parts.append(pd.DataFrame({"oid": oids, "deg": deg}))
+    degs = pd.concat(parts).sort_values("oid").reset_index(drop=True)
+    out = tri.merge(degs, on="oid")
+    d = out["deg"].to_numpy(np.float64)
+    t = out["tricnt"].to_numpy(np.float64)
+    denom = d * (d - 1)
+    out["lcc"] = np.divide(2 * t, denom, out=np.zeros(len(out)), where=denom > 0)
+    return out[["oid", "lcc"]]
