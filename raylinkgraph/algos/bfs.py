@@ -1,0 +1,77 @@
+"""BFS / unweighted SSSP: frontier-based min-distance propagation.
+
+Reference: grape::BFSOpt / bfs_generic
+(coordinator .gs_conf.yaml:42,150; run flags test/run_app.cc:63-66) —
+source vertex, hop distances, frontier expansion each round. Unreachable
+vertices keep ``UNREACHED`` (int64 max); callers usually filter or map it
+to -1. On a directed graph distances follow out-edges; symmetrize for the
+undirected variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylinkgraph.bsp import Superstep
+
+UNREACHED = np.iinfo(np.int64).max
+
+
+class BFS(Superstep):
+    name = "bfs"
+    state_dtypes = {"dist": pa.int64(), "changed": pa.bool_()}
+    scatter_columns = ["dist", "changed"]
+    msg_dtypes = {"cand": pa.int64()}
+    scalar_names = ["active"]
+
+    def __init__(self, source: int, max_rounds: int = 10_000):
+        self.source = int(source)
+        self.max_rounds = int(max_rounds)
+
+    def params(self) -> dict:
+        return {"source": self.source, "max_rounds": self.max_rounds}
+
+    def init(self, oids, out_deg):
+        dist = np.full(len(oids), UNREACHED)
+        changed = oids == self.source
+        dist[changed] = 0
+        return (
+            {"dist": dist, "changed": changed},
+            {"active": float(changed.sum())},
+        )
+
+    def scatter(self, state, block, scalars):
+        if len(block["udst"]) == 0:
+            return
+        dist = state["dist"][block["src_pos"]]
+        active = state["changed"][block["src_pos"]]
+        vals = np.where(active, dist, UNREACHED - 1)[block["src_code"]]
+        mins = np.minimum.reduceat(vals, block["dst_ptr"][:-1])
+        live = mins < UNREACHED - 1
+        if not live.any():
+            return
+        udst_pid = block["udst_pid"]
+        for q in np.unique(udst_pid[live]):
+            m = live & (udst_pid == q)
+            yield int(q), block["udst"][m], {"cand": mins[m] + 1}
+
+    def apply(self, oids, out_deg, state, msgs, scalars):
+        dist = state["dist"].copy()
+        changed = np.zeros(len(oids), np.bool_)
+        if len(msgs["dst"]):
+            pos = np.searchsorted(oids, msgs["dst"])
+            order = np.argsort(pos, kind="stable")
+            ps, cs = pos[order], msgs["cand"][order]
+            starts = np.flatnonzero(np.r_[True, np.diff(ps) > 0])
+            mins = np.minimum.reduceat(cs, starts)
+            upos = ps[starts]
+            better = mins < dist[upos]
+            dist[upos[better]] = mins[better]
+            changed[upos[better]] = True
+        return {"dist": dist, "changed": changed}, {"active": float(changed.sum())}
+
+    def converged(self, scalars, completed_rounds):
+        if completed_rounds >= self.max_rounds:
+            return True
+        return completed_rounds >= 1 and scalars["active"] == 0.0

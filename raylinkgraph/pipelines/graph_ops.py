@@ -1,0 +1,173 @@
+"""Graph management / report operators (SURVEY.md §2.1).
+
+The reference's client-visible ops (python/graphscope/framework/
+dag_utils.py; point queries core/fragment/fragment_reporter.h:69-208)
+expressed over the LinkGraph artifacts: counts, degree tables, neighbor
+queries, induced subgraphs, result-column joins, degree centrality.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raylinkgraph.functions.hashing import partition_of
+from raylinkgraph.stages.graph_build import LinkGraph
+
+
+def node_num(graph: LinkGraph) -> int:
+    """REPORT_GRAPH NODE_NUM (fragment_reporter.h:69)."""
+    return graph.n_vertices
+
+
+def edge_num(graph: LinkGraph) -> int:
+    return graph.n_edges
+
+
+def vertices_ds(graph: LinkGraph) -> rd.Dataset:
+    """(oid, out_deg) for every vertex."""
+    return rd.read_parquet(os.path.join(graph.graph_dir, "vertexstate"))
+
+
+def out_degrees(graph: LinkGraph) -> rd.Dataset:
+    return vertices_ds(graph)
+
+
+def in_degrees(graph: LinkGraph) -> rd.Dataset:
+    """(oid, in_deg) via one pre-combined groupby shuffle on hash(dst)."""
+    P = graph.P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        u, c = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "oid": pa.array(u, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                "pid": pa.array(partition_of(u, P), pa.int32()),
+            }
+        )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        g = g[g["oid"] >= 0]  # marker rows use oid=-1 (oids are non-negative)
+        vs = pq.read_table(graph.vertexstate_path(pid), columns=["oid"])
+        oids = vs.column("oid").to_numpy(zero_copy_only=False)
+        agg = g.groupby("oid")["cnt"].sum()
+        out = np.zeros(len(oids), np.int64)
+        out[np.searchsorted(oids, agg.index.to_numpy(np.int64))] = agg.to_numpy(np.int64)
+        return pd.DataFrame({"oid": oids, "in_deg": out})
+
+    markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
+        lambda b: pa.table(
+            {
+                "oid": pa.array(np.full(len(b), -1), pa.int64()),
+                "cnt": pa.array(np.zeros(len(b), np.int64)),
+                "pid": pa.array(
+                    b.column("id").to_numpy(zero_copy_only=False).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        graph.edges_ds()
+        .map_batches(partial, batch_format="pyarrow")
+        .union(markers)
+        .groupby("pid")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
+def degree_centrality(graph: LinkGraph) -> rd.Dataset:
+    """deg / (n-1), reference apps/centrality/degree/degree_centrality.h:25."""
+    n = graph.n_vertices
+
+    def f(batch: pa.Table) -> pa.Table:
+        deg = batch.column("out_deg").to_numpy(zero_copy_only=False)
+        c = deg / max(1, n - 1)
+        return pa.table(
+            {"oid": batch.column("oid"), "centrality": pa.array(c, pa.float64())}
+        )
+
+    return vertices_ds(graph).map_batches(f, batch_format="pyarrow")
+
+
+def has_node(graph: LinkGraph, oid: int) -> bool:
+    """Point query against the home partition only (no full scan)."""
+    pid = int(partition_of(np.array([oid], np.int64), graph.P)[0])
+    t = pq.read_table(graph.vertexstate_path(pid), columns=["oid"])
+    oids = t.column("oid").to_numpy(zero_copy_only=False)
+    i = np.searchsorted(oids, oid)
+    return bool(i < len(oids) and oids[i] == oid)
+
+
+def successors(graph: LinkGraph, oid: int) -> np.ndarray:
+    """SUCCS_BY_NODE: read only the home partition's edge file."""
+    pid = int(partition_of(np.array([oid], np.int64), graph.P)[0])
+    t = pq.read_table(
+        os.path.join(graph.graph_dir, "edges", f"edges-{pid:05d}.parquet")
+    )
+    src = t.column("src_id").to_numpy(zero_copy_only=False)
+    dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+    lo, hi = np.searchsorted(src, [oid, oid + 1])  # edge files are src-sorted
+    return dst[lo:hi]
+
+
+def subgraph_edges(graph: LinkGraph, keep_oids: set[int] | np.ndarray) -> rd.Dataset:
+    """Induced-subgraph edge table (CREATE_SUBGRAPH, dag_utils.py:709):
+    broadcast the (small) vertex set, filter inside map_batches."""
+    import ray
+
+    keep = np.asarray(sorted(keep_oids), np.int64)
+    ref = ray.put(keep)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(k, src)
+        di = np.searchsorted(k, dst)
+        m = (
+            (si < len(k)) & (di < len(k))
+            & (k[np.minimum(si, len(k) - 1)] == src)
+            & (k[np.minimum(di, len(k) - 1)] == dst)
+        )
+        return batch.filter(pa.array(m))
+
+    return graph.edges_ds().map_batches(f, batch_format="pyarrow")
+
+
+def add_column(
+    vertex_table: rd.Dataset, result: rd.Dataset, on: str = "oid"
+) -> rd.Dataset:
+    """ADD_COLUMN (dag_utils.py:973): join an algorithm's (oid, value)
+    result onto a vertex table. Small-side broadcast hash join."""
+    import ray
+
+    res = result.to_pandas().sort_values(on)
+    keys = res[on].to_numpy(np.int64)
+    cols = {c: res[c].to_numpy() for c in res.columns if c != on}
+    ref = ray.put((keys, cols))
+
+    def f(batch: pa.Table) -> pa.Table:
+        k, cs = ray.get(ref)
+        oid = batch.column(on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, oid)
+        pos = np.minimum(pos, len(k) - 1)
+        hit = k[pos] == oid
+        out = batch
+        for name, arr in cs.items():
+            vals = arr[pos]
+            if np.issubdtype(arr.dtype, np.floating):
+                vals = np.where(hit, vals, np.nan)
+            out = out.append_column(name, pa.array(vals))
+        return out
+
+    return vertex_table.map_batches(f, batch_format="pyarrow")
