@@ -1,0 +1,350 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shapes follow the standard large-scale recipes:
+- exact: content hash per batch -> groupby(hash) -> keep min doc_id
+  (hash only partitions; equality is re-checked on the actual text, so
+  hash collisions cannot merge distinct documents)
+- MinHash+LSH: char-shingles -> ``num_perm`` universal-hash minima ->
+  band hashes -> explode (band, band_hash, doc_id) -> groupby buckets ->
+  candidate pairs -> verify with signature-estimated Jaccard (signatures
+  shuffle with the rows; nothing O(corpus) is broadcast)
+- SimHash: 64-bit weighted token-hash signature; banding on 4x16-bit
+  chunks finds candidates; verify by Hamming distance
+All hashing is fixed-seed and vectorized; results are independent of
+parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_U64 = np.uint64
+_MERSENNE = _U64((1 << 61) - 1)
+
+
+def _text_hash(texts: pd.Series) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha1(t.encode("utf-8")).digest()[:8], "big")
+            for t in texts
+        ],
+        dtype=np.uint64,
+    ).astype(np.int64)
+
+
+def exact_dedup(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Keep the smallest doc_id per distinct text -> (doc_id) rows.
+
+    SQL parity: SELECT min(doc_id) AS doc_id FROM docs GROUP BY text.
+    """
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "t": batch[text_col],
+                "h": _text_hash(batch[text_col]),
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g.groupby("t", sort=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": np.sort(kept.to_numpy(np.int64))})
+
+    return (
+        docs.map_batches(add_hash, batch_format="pandas")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit FNV-1a hashes of the char k-shingles of ``text``."""
+    b = text.encode("utf-8")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    n = len(b) - k + 1
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _U64(14695981039346656037))
+    prime = _U64(1099511628211)
+    for j in range(k):
+        h = (h ^ arr[j : j + n].astype(_U64)) * prime
+    return np.unique(h)
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc MinHash signature + LSH band hashes."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                 seed: int = 1234):
+        assert num_perm % bands == 0
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        # universal hash (a*x + b) mod 2^61-1, min over shingles, per perm
+        x = sh[None, :]
+        v = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), len(batch))
+        doc_ids = np.tile(batch["doc_id"].to_numpy(np.int64), self.bands)
+        bh = []
+        for bnd in range(self.bands):
+            seg = sigs[:, bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+            mix = np.full(len(seg), _U64(14695981039346656037))
+            for c in range(seg.shape[1]):
+                mix = (mix ^ seg[:, c]) * _U64(1099511628211)
+            bh.append(mix)
+        band_hash = np.concatenate(bh).astype(np.int64)
+        sig_rows = np.tile(sigs.astype(np.int64), (self.bands, 1))
+        return pd.DataFrame(
+            {
+                "band": band_ids,
+                "band_hash": band_hash,
+                "doc_id": doc_ids,
+                "sig": list(sig_rows),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    docs: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    concurrency=(1, 4),
+    max_bucket: int = 200,
+) -> rd.Dataset:
+    """Near-duplicate candidate pairs with signature-estimated Jaccard >=
+    threshold -> (a, b, est_jaccard), a < b, deduplicated across bands."""
+    sig_ds = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
+                {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
+            )
+        if n > max_bucket:  # skew guard: never explode a degenerate bucket
+            g = g.head(max_bucket)
+            n = max_bucket
+        ids = g["doc_id"].to_numpy(np.int64)
+        sigs = np.stack(g["sig"].to_numpy())
+        iu, ju = np.triu_indices(n, k=1)
+        est = (sigs[iu] == sigs[ju]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "est_jaccard": est[keep]}
+        )
+
+    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+class SimHasher:
+    """64-bit SimHash over token FNV hashes (weight = token count)."""
+
+    def __init__(self, seed: int = 99):
+        self.token = _TOKEN_RE
+
+    @staticmethod
+    def _tok_hashes(toks: list[str]) -> np.ndarray:
+        out = np.empty(len(toks), np.uint64)
+        for i, t in enumerate(toks):
+            h = _U64(14695981039346656037)
+            for byt in t.encode("utf-8"):
+                h = (h ^ _U64(byt)) * _U64(1099511628211)
+            out[i] = h
+        return out
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = self.token.findall(text)
+        if not toks:
+            return _U64(0)
+        hs = self._tok_hashes(toks)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1))
+        v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out = _U64(0)
+        for j in range(64):
+            if v[j] > 0:
+                out |= _U64(1) << _U64(j)
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = np.array([self.simhash(t) for t in batch["text"]], dtype=np.uint64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sh.astype(np.int64)})
+
+
+def simhash_pairs(
+    docs: rd.Dataset, *, max_hamming: int = 3, concurrency=(1, 4)
+) -> rd.Dataset:
+    """Near-dup pairs by SimHash: band on 4x16-bit chunks (any chunk equal
+    -> candidate; catches all pairs with Hamming <= 3 by pigeonhole),
+    verify Hamming <= max_hamming -> (a, b, hamming)."""
+    sig = docs.map_batches(
+        SimHasher, batch_format="pandas", concurrency=concurrency, num_cpus=1
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(np.int64).astype(np.uint64)
+        rows = []
+        for chunk in range(4):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "chunk": np.full(len(h), chunk, np.int32),
+                        "key": ((h >> _U64(16 * chunk)) & _U64(0xFFFF)).astype(np.int64),
+                        "doc_id": batch["doc_id"].to_numpy(np.int64),
+                        "simhash": h.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2 or n > 2000:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                 "hamming": pd.Series([], dtype=np.int64)}
+            )
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = g["simhash"].to_numpy(np.int64).astype(np.uint64)
+        iu, ju = np.triu_indices(n, k=1)
+        x = h[iu] ^ h[ju]
+        ham = np.zeros(len(x), np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - _U64(1))
+        keep = ham <= 3
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]})
+
+    pairs = (
+        sig.map_batches(explode, batch_format="pandas")
+        .groupby(["chunk", "key"])
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["a", "b"])
+        return g[g["hamming"] <= max_hamming]
+
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset, *, n: int = 3, threshold: float = 0.4, **lsh_kwargs
+) -> rd.Dataset:
+    """Exact word-n-gram Jaccard on MinHash-LSH candidates: candidates come
+    from minhash_lsh_pairs (cheap screen), exact verification re-reads the
+    two texts via a partitioned join on doc_id -> (a, b, jaccard)."""
+    cands = minhash_lsh_pairs(docs, threshold=threshold * 0.5, **lsh_kwargs)
+    texts = docs.select_columns(["doc_id", "text"])
+
+    def tag(batch: pd.DataFrame, col, out):
+        b = batch.copy()
+        b["join_key"] = b[col]
+        b["side"] = out
+        return b
+
+    # attach text of a then b via groupby joins on doc_id
+    def join_side(pairs_ds, col, text_name):
+        tagged_pairs = pairs_ds.map_batches(
+            lambda b: tag(b, col, 0), batch_format="pandas"
+        )
+        tagged_text = texts.map_batches(
+            lambda b: pd.DataFrame(
+                {"join_key": b["doc_id"], "side": 1, "text": b["text"]}
+            ),
+            batch_format="pandas",
+        )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            t = g[g["side"] == 1]
+            p = g[g["side"] == 0]
+            if len(p) == 0 or len(t) == 0:
+                return p.drop(columns=["join_key", "side", "text"], errors="ignore").assign(
+                    **{text_name: pd.Series([], dtype=object)}
+                ).iloc[0:0]
+            lut = dict(zip(t["join_key"], t["text"]))
+            out = p.drop(columns=["side", "text"], errors="ignore").copy()
+            out[text_name] = out["join_key"].map(lut)
+            return out.drop(columns=["join_key"])
+
+        return tagged_pairs.union(tagged_text).groupby("join_key").map_groups(
+            merge, batch_format="pandas"
+        )
+
+    with_a = join_side(cands, "a", "text_a")
+    with_b = join_side(with_a, "b", "text_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for _, r in batch.iterrows():
+            ga = set(_word_ngrams(r["text_a"], n))
+            gb = set(_word_ngrams(r["text_b"], n))
+            if not ga and not gb:
+                j = 1.0
+            else:
+                j = len(ga & gb) / len(ga | gb)
+            if j >= threshold:
+                out_a.append(r["a"]); out_b.append(r["b"]); out_j.append(j)
+        return pd.DataFrame(
+            {"a": np.array(out_a, np.int64), "b": np.array(out_b, np.int64),
+             "jaccard": np.array(out_j, np.float64)}
+        )
+
+    return with_b.map_batches(verify, batch_format="pandas")
+
+
+def _word_ngrams(text: str, n: int) -> list[tuple[str, ...]]:
+    toks = _TOKEN_RE.findall(text)
+    return [tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]

@@ -1,0 +1,207 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is normalized once, shipped
+  via one ``ray.put`` and read zero-copy by an actor pool; each batch is
+  a numpy matmul; per-batch top-k partials are reduced by a tiny final
+  groupby. O(batch x k_q) work per batch, no全-corpus materialization.
+- LSH-bucketed ANN (scale path): random-hyperplane signatures bucket the
+  corpus; queries search only their own bucket (with multiprobe over
+  1-bit flips), then exact-rerank. Recall < 1 by design; the brute-force
+  path is the exactness baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    dim = offs[1] - offs[0]
+    return flat.reshape(len(col), int(dim))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for each query id -> (query_id,
+    neighbor_id, rnk), self excluded; ties broken by neighbor_id asc.
+    Output is integer-only so oracle comparison is exact."""
+    qset = sorted(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, qset)
+        return batch.filter(pa.array(mask))
+
+    qtab = embeddings.map_batches(grab, batch_format="pyarrow").to_pandas()
+    qtab = qtab.sort_values(id_col)
+    Q = _normalize(np.stack(qtab[vec_col].to_numpy()).astype(np.float64))
+    qids = qtab[id_col].to_numpy(np.int64)
+    ref = ray.put((qids, Q))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            sims = self.Q @ X.T  # (k_q, batch)
+            kk = min(k + 1, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                # local top-(k+1) (self might be in-batch); ties -> id asc
+                idx = np.argpartition(-row, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[qi]))
+                out_n.append(ids[idx])
+                out_s.append(row[idx])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        Score, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), qid, np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    res = partials.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return (
+        res.to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
+def lsh_knn_cosine(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets + 1-bit multiprobe
+    + exact rerank inside candidate buckets -> (query_id, neighbor_id,
+    rnk). The scale path: each query touches ~(n_bits+1)/2^n_bits of the
+    corpus instead of all of it."""
+    sample = embeddings.take(1)[0]
+    dim = len(sample[vec_col])
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    R = rng.standard_normal((dim, n_bits))
+    ref_R = ray.put(R)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        Rm = ray.get(ref_R)
+        X = _to_matrix(batch.column(vec_col))
+        bits = (X @ Rm) > 0
+        code = np.zeros(len(X), np.int64)
+        for j in range(n_bits):
+            code |= bits[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "bucket": pa.array(code, pa.int64()),
+            }
+        )
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    qset = sorted(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtab = bucketed.map_batches(grab, batch_format="pyarrow").to_pandas()
+    # probe set per query: own bucket + all 1-bit flips
+    probes: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for _, r in qtab.iterrows():
+        b = int(r["bucket"])
+        want = [b] + [b ^ (1 << j) for j in range(n_bits)]
+        for w in want:
+            probes.setdefault(w, []).append(
+                (int(r[id_col]), np.asarray(r[vec_col], np.float64))
+            )
+    ref_probes = ray.put(probes)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(ref_probes)
+        b = int(g["bucket"].iloc[0])
+        qs = pr.get(b, [])
+        if not qs:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "sim": pd.Series([], dtype=np.float64)}
+            )
+        X = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy(np.int64)
+        frames = []
+        for qid, qv in qs:
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+            sims = X @ qv
+            frames.append(
+                pd.DataFrame({"query_id": qid, "neighbor_id": ids, "sim": sims})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cand = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g["neighbor_id"] != qid].drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), qid, np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )

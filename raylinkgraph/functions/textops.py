@@ -1,0 +1,192 @@
+"""Text analysis operators for the documents table (large-scale
+training-data pipeline ops): token counting, character/quality stats,
+language ID (stopword-overlap heuristic), document fingerprinting
+(rolling hash). All vectorized (pandas str kernels / numpy); stateful
+setup (compiled regexes, stopword tables) lives in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_TOKEN_RE = r"\S+"
+_WORD_RE = re.compile(r"[a-zA-Z]+")
+
+# tiny deterministic stopword tables for the langid heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "para", "en"},
+}
+_LANGS = sorted(_STOPWORDS)
+
+
+def token_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_tokens): tokens are maximal non-whitespace runs —
+    SQL-parity: length(regexp_extract_all(text, '\\S+'))."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch[text_col].str.count(_TOKEN_RE).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def char_stats(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_chars, n_tokens, n_punct, n_digits) — all SQL-expressible
+    so the DuckDB oracle can verify them exactly."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": t.str.len().astype(np.int64),
+                "n_tokens": t.str.count(_TOKEN_RE).astype(np.int64),
+                "n_punct": t.str.count(r"[.,;:!?]").astype(np.int64),
+                "n_digits": t.str.count(r"[0-9]").astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+class QualityScore:
+    """Actor-pool stage: heuristic quality score per document.
+
+    Score = mean of (length score, stopword-ratio score, alpha ratio) —
+    the shape of C4/Gopher-style quality filters. Stopword machinery is
+    built once per actor.
+    """
+
+    def __init__(self, lang: str = "en"):
+        self.stop = _STOPWORDS[lang]
+        self.word = _WORD_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().to_numpy(np.float64)
+        toks = texts.str.lower().str.findall(self.word)
+        n_tok = toks.map(len).to_numpy(np.float64)
+        stop = self.stop
+        n_stop = toks.map(lambda ws: sum(w in stop for w in ws)).to_numpy(np.float64)
+        alpha = texts.str.count(r"[a-zA-Z]").to_numpy(np.float64)
+        len_score = np.clip(n_chars / 1000.0, 0, 1)
+        stop_ratio = np.divide(n_stop, n_tok, out=np.zeros_like(n_stop), where=n_tok > 0)
+        alpha_ratio = np.divide(alpha, n_chars, out=np.zeros_like(alpha), where=n_chars > 0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "quality": (len_score + np.clip(stop_ratio * 5, 0, 1) + alpha_ratio) / 3.0,
+            }
+        )
+
+
+def quality_scores(docs: rd.Dataset, *, concurrency=(1, 4), batch_size=4096) -> rd.Dataset:
+    return docs.map_batches(
+        QualityScore, batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=1,
+    )
+
+
+class LangId:
+    """Actor-pool stage: stopword-overlap language ID with deterministic
+    tie-break (alphabetical first among max scores; 'und' when no signal)."""
+
+    def __init__(self):
+        self.word = _WORD_RE
+        self.tables = [(lang, _STOPWORDS[lang]) for lang in _LANGS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.word)
+        out = []
+        for ws in toks:
+            best, best_score = "und", 0
+            for lang, table in self.tables:
+                s = sum(w in table for w in ws)
+                if s > best_score:
+                    best, best_score = lang, s
+            out.append(best)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": out})
+
+
+def langid(docs: rd.Dataset, *, concurrency=(1, 4), batch_size=4096) -> rd.Dataset:
+    return docs.map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=1,
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def _fnv1a_bytes(s: str) -> np.uint64:
+    h = _FP_OFF
+    for b in s.encode("utf-8"):
+        h = (h ^ np.uint64(b)) * _FP_BASE
+    return h
+
+
+class Fingerprint:
+    """Rolling-hash document fingerprint: FNV-1a over each k-token window,
+    fingerprint = min window hash (winnowing degenerate w=all). Stable
+    across runs; collisions negligible at 64 bits for dedup screening."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+        self.token = re.compile(_TOKEN_RE)
+
+    def doc_fp(self, text: str) -> int:
+        toks = self.token.findall(text)
+        if len(toks) < self.k:
+            return int(_fnv1a_bytes(" ".join(toks)))
+        hs = [
+            int(_fnv1a_bytes(" ".join(toks[i : i + self.k])))
+            for i in range(len(toks) - self.k + 1)
+        ]
+        return min(hs)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": np.array(
+                    [self.doc_fp(t) for t in batch["text"]], dtype=np.uint64
+                ).astype(np.int64),
+            }
+        )
+
+
+def fingerprints(docs: rd.Dataset, *, k=3, concurrency=(1, 4), batch_size=4096) -> rd.Dataset:
+    return docs.map_batches(
+        Fingerprint, fn_constructor_kwargs={"k": k}, batch_format="pandas",
+        concurrency=concurrency, batch_size=batch_size, num_cpus=1,
+    )
+
+
+def lang_distribution(docs: rd.Dataset) -> rd.Dataset:
+    """(lang, n) — partial counts per batch, then a tiny groupby-sum
+    (pre-aggregation pattern: the shuffle moves O(#langs) rows per batch,
+    not O(rows))."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch.groupby("lang", sort=True).size()
+        return pd.DataFrame({"lang": c.index, "partial": c.to_numpy(np.int64)})
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n"))
+    )

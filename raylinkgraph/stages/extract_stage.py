@@ -51,7 +51,7 @@ class ExtractPages:
 def extract_pages(
     pages: rd.Dataset,
     *,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
 ) -> rd.Dataset:
     """Run the extraction actor pool over a pages Dataset.

@@ -1,0 +1,145 @@
+"""Text ops, dedup, similarity, multimodal plumbing — vs direct oracles
+on the driver-generated documents/embeddings tables."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raylinkgraph.functions import dedup, multimodal, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_token_counts(docs, docs_pdf):
+    got = textops.token_counts(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    for _, r in docs_pdf.iterrows():
+        assert got[r["doc_id"]] == len(re.findall(r"\S+", r["text"]))
+
+
+def test_char_stats(docs, docs_pdf):
+    got = textops.char_stats(docs).to_pandas().set_index("doc_id")
+    r = docs_pdf.iloc[7]
+    assert got.loc[r["doc_id"], "n_chars"] == len(r["text"])
+    assert got.loc[r["doc_id"], "n_punct"] == len(re.findall(r"[.,;:!?]", r["text"]))
+
+
+def test_lang_distribution(docs, docs_pdf):
+    got = textops.lang_distribution(docs).to_pandas().set_index("lang")["n"]
+    want = docs_pdf.groupby("lang").size()
+    for lang, n in want.items():
+        assert got[lang] == n
+
+
+def test_quality_and_langid_deterministic(docs):
+    a = textops.quality_scores(docs, concurrency=2).to_pandas().sort_values("doc_id")
+    b = textops.quality_scores(docs, concurrency=1, batch_size=77).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["quality"].to_numpy(), b["quality"].to_numpy())
+    l1 = textops.langid(docs).to_pandas().sort_values("doc_id")
+    l2 = textops.langid(docs, batch_size=33).to_pandas().sort_values("doc_id")
+    assert list(l1["lang_pred"]) == list(l2["lang_pred"])
+
+
+def test_exact_dedup_with_planted_dups(ray_session, docs_pdf):
+    df = docs_pdf[["doc_id", "text"]].copy()
+    clones = df.head(20).copy()
+    clones["doc_id"] = clones["doc_id"] + 1_000_000  # duplicates, higher ids
+    both = pd.concat([df, clones], ignore_index=True)
+    got = (
+        dedup.exact_dedup(rd.from_pandas(both))
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    want = both.groupby("text")["doc_id"].min().sort_values().to_numpy()
+    assert np.array_equal(got, np.sort(want))
+
+
+def test_minhash_finds_planted_near_dups(ray_session, docs_pdf):
+    df = docs_pdf[["doc_id", "text"]].head(60).copy()
+    near = df.head(5).copy()
+    near["doc_id"] = near["doc_id"] + 500_000
+    near["text"] = near["text"] + " tail"  # tiny perturbation
+    both = pd.concat([df, near], ignore_index=True)
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_pandas(both), threshold=0.6, concurrency=2
+    ).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    for _, r in near.iterrows():
+        orig = r["doc_id"] - 500_000
+        assert (orig, r["doc_id"]) in found
+    # unrelated docs should not pair up at this threshold
+    assert len(pairs) < 30
+
+
+def test_simhash_finds_planted_dups(ray_session, docs_pdf):
+    df = docs_pdf[["doc_id", "text"]].head(60).copy()
+    near = df.head(4).copy()
+    near["doc_id"] = near["doc_id"] + 700_000
+    both = pd.concat([df, near], ignore_index=True)  # exact clones: hamming 0
+    pairs = dedup.simhash_pairs(rd.from_pandas(both), concurrency=2).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    for _, r in near.iterrows():
+        assert (r["doc_id"] - 700_000, r["doc_id"]) in found
+
+
+def test_knn_cosine_exact(ray_session):
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = similarity.knn_cosine(emb, query_ids=[0, 1, 2], k=5, concurrency=2)
+    E = np.stack(emb.to_pandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for q in (0, 1, 2):
+        sims = En @ En[q]
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        want = [i for i in order if i != q][:5]
+        mine = got[got["query_id"] == q].sort_values("rnk")["neighbor_id"].tolist()
+        assert mine == want
+
+
+def test_lsh_knn_reasonable_recall(ray_session):
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = similarity.knn_cosine(emb, query_ids=[0, 5], k=10, concurrency=2)
+    approx = similarity.lsh_knn_cosine(emb, query_ids=[0, 5], k=10, n_bits=4)
+    for q in (0, 5):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert len(e & a) >= 3  # multiprobe recall on random data
+
+
+def test_multimodal_plumbing(ray_session):
+    media = rd.from_arrow(multimodal.fake_media_table(40))
+    feats = multimodal.extract_image_features(media, concurrency=2, batch_size=8)
+    out = feats.to_pandas().sort_values("media_id")
+    assert len(out) == 40 and len(out["feature"].iloc[0]) == 32
+    # determinism across batch sizes
+    out2 = (
+        multimodal.extract_image_features(media, concurrency=1, batch_size=13)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert np.allclose(
+        np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy())
+    )
+    frames = multimodal.sample_frames(media, n_frames=3).to_pandas()
+    assert len(frames) == 120
+    # real decode is stub-gated
+    import pyarrow as pa
+
+    stub = multimodal.DecodeImage(fake=False)
+    if not stub.pil:
+        with pytest.raises(NotImplementedError):
+            stub(multimodal.fake_media_table(2))
