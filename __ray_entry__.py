@@ -1,44 +1,590 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes the engine's operators over the driver's testdata
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (iterative graph algorithms are expressed as
+UNROLLED fixed-round CTE chains — plain ANSI SQL, no vendor recursion).
+Non-SQL-expressible ops (LSH/heuristic/approx/pages-pipeline) have no
+oracle entry and get the rows-only check; their exactness is covered by
+the pytest oracles (NetworkX / single-process references) instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+ALPHA = 0.85
+PR_ROUNDS = 15
+CDLP_ROUNDS = 5
+KCORE_K = 3
+KNN_QUERIES = [0, 1, 2, 3, 4]
+KNN_K = 10
+
+# ---------------------------------------------------------------------------
+# flagship pipeline
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship link-graph pipeline on a deterministic synthetic pages
+    table (north-rule input shape): extract -> edges -> CSR -> PageRank;
+    returns the top-50 pages by rank with their urls."""
+    import ray.data as rd
+
+    from raylinkgraph.pipelines.linkgraph import (
+        build_linkgraph_from_pages,
+        run_pagerank,
+    )
+    from raylinkgraph.sources.pages import generate_pages_parquet
+
+    root = "/tmp/raylinkgraph_entry"
+    pages = os.path.join(root, "pages")
+    generate_pages_parquet(pages, 2000, seed=42)
+    graph, vmap = build_linkgraph_from_pages(
+        pages, os.path.join(root, "pipe"), P=16, extract_concurrency=(1, 8)
+    )
+    res = run_pagerank(graph, os.path.join(root, "ck-pr"))
+    ranks = res.state_pandas()[["oid", "rank"]]
+    vm = vmap.to_pandas().rename(columns={"gid": "oid"})
+    out = ranks.merge(vm, on="oid").sort_values(
+        ["rank", "oid"], ascending=[False, True]
+    )
+    return out.head(50).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _rank_e6(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def q_graph_edges(sf_dir):
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    df = get_graph(sf_dir, "cp").edges_ds().to_pandas()
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def q_graph_out_degrees(sf_dir):
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    df = graph_ops.out_degrees(g).to_pandas()
+    df = df[df["out_deg"] > 0]
+    return df.rename(columns={"oid": "src_id"}).sort_values("src_id").reset_index(drop=True)
+
+
+def q_graph_in_degrees(sf_dir):
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    df = graph_ops.in_degrees(g).to_pandas()
+    df = df[df["in_deg"] > 0]
+    return df.rename(columns={"oid": "dst_id"}).sort_values("dst_id").reset_index(drop=True)
+
+
+def q_graph_pagerank(sf_dir):
+    from raylinkgraph.algos import PageRank
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    res = run_bsp(
+        g,
+        PageRank(g.n_vertices, alpha=ALPHA, tol=0.0, max_rounds=PR_ROUNDS),
+        workdir_for(sf_dir, "pr"),
+        max_rounds=PR_ROUNDS,
+    )
+    df = res.state_pandas()[["oid", "rank"]]
+    return pd.DataFrame({"oid": df["oid"], "rank_e6": _rank_e6(df["rank"].to_numpy())})
+
+
+def q_graph_wcc(sf_dir):
+    from raylinkgraph.algos import WCC
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp_und")
+    res = run_bsp(g, WCC(), workdir_for(sf_dir, "wcc"), max_rounds=10_000)
+    return res.state_pandas()[["oid", "comp"]]
+
+
+def q_graph_cdlp(sf_dir):
+    from raylinkgraph.algos import CDLP
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp_und")
+    res = run_bsp(
+        g, CDLP(max_rounds=CDLP_ROUNDS), workdir_for(sf_dir, "cdlp"),
+        max_rounds=CDLP_ROUNDS,
+    )
+    return res.state_pandas()[["oid", "label"]]
+
+
+def q_graph_bfs(sf_dir):
+    from raylinkgraph.algos.bfs import BFS, UNREACHED
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    src = int(q_graph_edges(sf_dir)["src_id"].min())
+    res = run_bsp(g, BFS(src), workdir_for(sf_dir, "bfs"), max_rounds=10_000)
+    df = res.state_pandas()[["oid", "dist"]]
+    return df[df["dist"] != UNREACHED].reset_index(drop=True)
+
+
+def q_graph_triangles(sf_dir):
+    from raylinkgraph.algos.triangles import run_triangles
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    return run_triangles(g, workdir_for(sf_dir, "tri"))
+
+
+def q_graph_kcore(sf_dir):
+    from raylinkgraph.algos.kcore import KCore
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    res = run_bsp(g, KCore(KCORE_K), workdir_for(sf_dir, "kcore"), max_rounds=10_000)
+    df = res.state_pandas()
+    return df.loc[df["alive"], ["oid"]].reset_index(drop=True)
+
+
+def q_doc_token_counts(sf_dir):
+    from raylinkgraph.functions.textops import token_counts
+
+    return token_counts(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_char_stats(sf_dir):
+    from raylinkgraph.functions.textops import char_stats
+
+    return char_stats(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_lang_distribution(sf_dir):
+    from raylinkgraph.functions.textops import lang_distribution
+
+    return lang_distribution(_docs(sf_dir)).to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def q_doc_exact_dedup(sf_dir):
+    from raylinkgraph.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_quality(sf_dir):
+    from raylinkgraph.functions.textops import quality_scores
+
+    df = quality_scores(_docs(sf_dir)).to_pandas().sort_values("doc_id")
+    df["quality_e6"] = _rank_e6(df["quality"].to_numpy())
+    return df[["doc_id", "quality_e6"]].reset_index(drop=True)
+
+
+def q_doc_langid(sf_dir):
+    from raylinkgraph.functions.textops import langid
+
+    return langid(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir):
+    from raylinkgraph.functions.textops import fingerprints
+
+    return fingerprints(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_minhash_pairs(sf_dir):
+    from raylinkgraph.functions.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+    return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_doc_simhash_pairs(sf_dir):
+    from raylinkgraph.functions.dedup import simhash_pairs
+
+    df = simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_knn_cosine(sf_dir):
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_cosine(emb, KNN_QUERIES, k=KNN_K)
+
+
+def q_knn_lsh(sf_dir):
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import lsh_knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_knn_cosine(emb, KNN_QUERIES, k=KNN_K, n_bits=6)
+
+
+def q_events_by_type(sf_dir):
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = (
+        ev.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    out["sum_value_e6"] = _rank_e6(out["sv"].to_numpy())
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "n", "sum_value_e6"]].sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_sessions(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        starts = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum()
+        return pd.DataFrame(
+            {"user_id": [np.int64(g["user_id"].iloc[0])], "n_sessions": [np.int64(starts)]}
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_media_features(sf_dir):
+    """Multimodal plumbing over a deterministic binary table derived from
+    the documents texts (payload = utf-8 bytes). Rows-only check."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import extract_image_features
+
+    docs = _docs(sf_dir).to_pandas().head(200)
+    media = pa.table(
+        {
+            "media_id": pa.array(docs["doc_id"].to_numpy(np.int64), pa.int64()),
+            "mime": pa.array(["text/plain"] * len(docs), pa.string()),
+            "payload": pa.array(
+                [t.encode("utf-8") for t in docs["text"]], pa.large_binary()
+            ),
+            "width": pa.array(np.zeros(len(docs), np.int32), pa.int32()),
+            "height": pa.array(np.zeros(len(docs), np.int32), pa.int32()),
+        }
+    )
+    feats = extract_image_features(rd.from_arrow(media), feature_dim=8).to_pandas()
+    feats["f0_e6"] = _rank_e6(np.stack(feats["feature"].to_numpy())[:, 0])
+    return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
+
+
+def q_pages_pagerank(sf_dir):
+    """North-rule flagship on synthetic pages (rows-only vs SQL; exactness
+    is covered by the NetworkX-oracle pytest suite)."""
+    df = entry()
+    out = df.copy()
+    out["rank_e6"] = _rank_e6(out["rank"].to_numpy())
+    return out[["oid", "url", "rank_e6"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "graph_edges": q_graph_edges,
+        "graph_out_degrees": q_graph_out_degrees,
+        "graph_in_degrees": q_graph_in_degrees,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_wcc": q_graph_wcc,
+        "graph_cdlp": q_graph_cdlp,
+        "graph_bfs": q_graph_bfs,
+        "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_char_stats": q_doc_char_stats,
+        "doc_lang_distribution": q_doc_lang_distribution,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "events_by_type": q_events_by_type,
+        "events_sessions": q_events_sessions,
+        "media_features": q_media_features,
+        "pages_pagerank": q_pages_pagerank,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB over the pre-registered parquet views)
+# ---------------------------------------------------------------------------
+
+_EDGES = (
+    "SELECT DISTINCT o_custkey AS src_id, 10000000 + l_partkey AS dst_id "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+_PP_EDGES = (
+    "SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u, "
+    "GREATEST(a.l_partkey, b.l_partkey) AS v "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+)
+
+
+def _pagerank_sql(rounds: int, alpha: float) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src_id AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src_id)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS r FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.r),0) AS s FROM r{i} r "
+            f"LEFT JOIN deg ON deg.v = r.v WHERE deg.v IS NULL)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst_id AS v, SUM(r.r / deg.d) AS s "
+            f"FROM edges e JOIN r{i} r ON e.src_id = r.v "
+            f"JOIN deg ON deg.v = e.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"r{i+1} AS MATERIALIZED (SELECT verts.v, "
+            f"{alpha} * (COALESCE(m{i}.s, 0) + (SELECT s FROM dang{i}) / (SELECT n FROM nn)) "
+            f"+ {1.0 - alpha} / (SELECT n FROM nn) AS r "
+            f"FROM verts LEFT JOIN m{i} ON m{i}.v = verts.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS rank_e6 "
+        f"FROM r{rounds} ORDER BY oid"
+    )
+
+
+def _wcc_sql(rounds: int) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "uedges AS MATERIALIZED (SELECT src_id AS s, dst_id AS d FROM edges "
+        "UNION SELECT dst_id, src_id FROM edges)",
+        "verts AS MATERIALIZED (SELECT s AS v FROM uedges UNION SELECT d FROM uedges)",
+        "c0 AS MATERIALIZED (SELECT v, v AS comp FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"c{i+1} AS MATERIALIZED (SELECT c.v, "
+            f"CASE WHEN m.mn IS NULL OR c.comp <= m.mn THEN c.comp ELSE m.mn END AS comp "
+            f"FROM c{i} c LEFT JOIN (SELECT e.d AS v, MIN(c2.comp) AS mn "
+            f"FROM uedges e JOIN c{i} c2 ON e.s = c2.v GROUP BY e.d) m ON m.v = c.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, comp FROM c{rounds} ORDER BY oid"
+    )
+
+
+def _cdlp_sql(rounds: int) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "uedges AS MATERIALIZED (SELECT src_id AS s, dst_id AS d FROM edges "
+        "UNION SELECT dst_id, src_id FROM edges)",
+        "verts AS MATERIALIZED (SELECT s AS v FROM uedges UNION SELECT d FROM uedges)",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"cnt{i} AS MATERIALIZED (SELECT e.d AS v, l.lab, COUNT(*) AS c "
+            f"FROM uedges e JOIN l{i} l ON e.s = l.v GROUP BY e.d, l.lab)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT v, lab FROM (SELECT v, lab, "
+            f"ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn "
+            f"FROM cnt{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i+1} AS MATERIALIZED (SELECT p.v, COALESCE(w{i}.lab, p.lab) AS lab "
+            f"FROM l{i} p LEFT JOIN w{i} ON w{i}.v = p.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, lab AS label FROM l{rounds} ORDER BY oid"
+    )
+
+
+def _bfs_sql(rounds: int) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "src AS MATERIALIZED (SELECT MIN(src_id) AS s FROM edges)",
+        "d0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM src) THEN 0 END AS dist FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst_id AS v, MIN(d2.dist) + 1 AS nd "
+            f"FROM edges e JOIN d{i} d2 ON e.src_id = d2.v "
+            f"WHERE d2.dist IS NOT NULL GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"d{i+1} AS MATERIALIZED (SELECT d.v, CASE "
+            f"WHEN d.dist IS NULL THEN m{i}.nd "
+            f"WHEN m{i}.nd IS NULL THEN d.dist "
+            f"ELSE LEAST(d.dist, m{i}.nd) END AS dist "
+            f"FROM d{i} d LEFT JOIN m{i} ON m{i}.v = d.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, dist FROM d{rounds} WHERE dist IS NOT NULL ORDER BY oid"
+    )
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PP_EDGES}),
+verts AS (SELECT u AS v FROM pedges UNION SELECT v FROM pedges),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pedges e1
+  JOIN pedges e2 ON e2.u = e1.v
+  JOIN pedges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cnt AS (
+  SELECT x AS v, COUNT(*) AS c FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY x
+)
+SELECT verts.v AS oid, COALESCE(cnt.c, 0) AS tricnt
+FROM verts LEFT JOIN cnt ON cnt.v = verts.v ORDER BY oid
+"""
+
+
+def _kcore_sql(rounds: int, k: int) -> str:
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        "uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges UNION SELECT v, u FROM pedges)",
+        "a0 AS MATERIALIZED (SELECT s AS v FROM uedges UNION SELECT d FROM uedges)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"a{i+1} AS MATERIALIZED (SELECT e.s AS v FROM uedges e "
+            f"JOIN a{i} x ON x.v = e.s JOIN a{i} y ON y.v = e.d "
+            f"GROUP BY e.s HAVING COUNT(*) >= {k})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v AS oid FROM a{rounds} ORDER BY oid"
+
+
+def _knn_sql(query_ids: list[int], k: int) -> str:
+    qs = ",".join(str(q) for q in query_ids)
+    return f"""
+WITH elems AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM elems GROUP BY vec_id),
+q AS (SELECT * FROM elems WHERE vec_id IN ({qs})),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, SUM(q.val * e.val) AS dp
+  FROM q JOIN elems e ON e.pos = q.pos
+  GROUP BY q.vec_id, e.vec_id
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, d.dp / (nq.nrm * ne.nrm) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.neighbor_id
+  WHERE d.query_id <> d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_edges": f"SELECT * FROM ({_EDGES}) ORDER BY src_id, dst_id",
+        "graph_out_degrees": (
+            f"SELECT src_id, COUNT(*) AS out_deg FROM ({_EDGES}) "
+            "GROUP BY src_id ORDER BY src_id"
+        ),
+        "graph_in_degrees": (
+            f"SELECT dst_id, COUNT(*) AS in_deg FROM ({_EDGES}) "
+            "GROUP BY dst_id ORDER BY dst_id"
+        ),
+        "graph_pagerank": _pagerank_sql(PR_ROUNDS, ALPHA),
+        "graph_wcc": _wcc_sql(30),
+        "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),
+        "graph_bfs": _bfs_sql(25),
+        "graph_triangles": _triangles_sql(),
+        "graph_kcore": _kcore_sql(20, KCORE_K),
+        "doc_token_counts": (
+            "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_char_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
+            "length(regexp_extract_all(text, '[0-9]')) AS n_digits "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_lang_distribution": (
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "knn_cosine": _knn_sql(KNN_QUERIES, KNN_K),
+        "events_by_type": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(FLOOR(SUM(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_sessions": (
+            "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)::BIGINT AS n_sessions "
+            "FROM (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events) GROUP BY user_id ORDER BY user_id"
+        ),
+    }

@@ -1,0 +1,151 @@
+"""Graphs derived from the driver's TPC-H-ish testdata tables.
+
+Two deterministic edge tables give the correctness gate a graph whose
+oracle is plain SQL over the same parquet views:
+
+- CP (directed, bipartite): customer -> part, an edge when the customer
+  ordered the part.  src = o_custkey, dst = 10_000_000 + l_partkey.
+  SQL: SELECT DISTINCT o_custkey, 10000000 + l_partkey
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey.
+- PP (undirected): part -- part, an edge when two parts co-occur in one
+  order (this one has triangles). u < v canonical direction.
+
+The orders side is broadcast (one ray.put of the o_orderkey->o_custkey
+arrays) because it is the small side of the join; at 10^12 scale this
+would become the partitioned bucket join of stages/vertex_map.py.
+
+Built graphs are cached under a content-keyed directory so repeated
+queries()/bench calls reuse the artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from raylinkgraph.functions.hashing import partition_of
+from raylinkgraph.stages.graph_build import LinkGraph
+
+PART_OFFSET = 10_000_000
+CACHE_ROOT = "/tmp/raylinkgraph_cache"
+
+
+def cp_edges(sf_dir: str) -> rd.Dataset:
+    """customer -> part edge pairs (with duplicates; build() dedups)."""
+    orders = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    ref = ray.put((okeys, ocust))
+
+    class Join:
+        def __init__(self):
+            self.okeys, self.ocust = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.okeys, lo)
+            return pa.table(
+                {
+                    "src_id": pa.array(self.ocust[pos], pa.int64()),
+                    "dst_id": pa.array(lp + PART_OFFSET, pa.int64()),
+                }
+            )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(Join, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def pp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
+    """part -- part co-order pairs (u < v), deduplicated downstream.
+
+    One groupby on hash(l_orderkey) % buckets; pair expansion is the same
+    vectorized segment-pair kernel as the triangle wedge stage, run over
+    ~|orders|/buckets orders per group."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(lo, pa.int64()),
+                "l_partkey": batch.column("l_partkey"),
+                "bucket": pa.array(partition_of(lo, buckets), pa.int32()),
+            }
+        )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        pk = g["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        is_new = np.r_[True, np.diff(ok) != 0]
+        starts = np.flatnonzero(is_new)
+        seg_of = np.cumsum(is_new) - 1
+        seg_len = np.diff(np.r_[starts, len(ok)])
+        idx = np.arange(len(ok)) - starts[seg_of]
+        n_partners = seg_len[seg_of] - idx - 1
+        total = int(n_partners.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"src_id": pd.Series([], dtype=np.int64),
+                 "dst_id": pd.Series([], dtype=np.int64)}
+            )
+        first = np.repeat(np.arange(len(ok)), n_partners)
+        base = np.repeat(np.cumsum(n_partners) - n_partners, n_partners)
+        off = np.arange(total) - base + 1
+        second = first + off
+        a, b = pk[first], pk[second]
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        keep = u != v
+        return pd.DataFrame({"src_id": u[keep], "dst_id": v[keep]})
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
+_MEMO: dict[tuple[str, str], LinkGraph] = {}
+
+
+def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
+    """Cached build of the CP / CP-undirected / PP graphs for ``sf_dir``."""
+    key = (os.path.abspath(sf_dir), kind)
+    if key in _MEMO:
+        return _MEMO[key]
+    tag = hashlib.md5(f"{key[0]}|{kind}|P{P}|v3".encode()).hexdigest()[:12]
+    gdir = os.path.join(CACHE_ROOT, f"{kind}-{tag}")
+    if os.path.exists(os.path.join(gdir, "meta.json")):
+        g = LinkGraph(gdir)
+    else:
+        if kind == "cp":
+            g = LinkGraph.build(cp_edges(sf_dir), gdir, P=P, symmetrize=False)
+        elif kind == "cp_und":
+            g = LinkGraph.build(cp_edges(sf_dir), gdir, P=P, symmetrize=True)
+        elif kind == "pp":
+            g = LinkGraph.build(pp_edges(sf_dir), gdir, P=P, symmetrize=True)
+        else:
+            raise ValueError(kind)
+    _MEMO[key] = g
+    return g
+
+
+def workdir_for(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(CACHE_ROOT, f"work-{name}-{tag}")
