@@ -42,7 +42,7 @@ class BFS(Superstep):
         )
 
     def scatter(self, state, block, scalars):
-        if len(block["udst"]) == 0:
+        if len(block["udst_pos"]) == 0:
             return
         dist = state["dist"][block["src_pos"]]
         active = state["changed"][block["src_pos"]]
@@ -51,16 +51,20 @@ class BFS(Superstep):
         live = mins < UNREACHED - 1
         if not live.any():
             return
-        udst_pid = block["udst_pid"]
-        for q in np.unique(udst_pid[live]):
-            m = live & (udst_pid == q)
-            yield int(q), block["udst"][m], {"cand": mins[m] + 1}
+        tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
+            if lo >= hi:
+                continue
+            m = live[lo:hi]
+            if m.any():
+                yield q, pos[lo:hi][m], {"cand": mins[lo:hi][m] + 1}
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         dist = state["dist"].copy()
         changed = np.zeros(len(oids), np.bool_)
-        if len(msgs["dst"]):
-            pos = np.searchsorted(oids, msgs["dst"])
+        if len(msgs["pos"]):
+            pos = msgs["pos"]
             order = np.argsort(pos, kind="stable")
             ps, cs = pos[order], msgs["cand"][order]
             starts = np.flatnonzero(np.r_[True, np.diff(ps) > 0])

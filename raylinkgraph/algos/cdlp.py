@@ -42,12 +42,11 @@ class CDLP(Superstep):
         return {"label": oids.copy()}, {"active": float(len(oids))}
 
     def scatter(self, state, block, scalars):
-        udst = block["udst"]
-        if len(udst) == 0:
+        upos = block["udst_pos"]
+        if len(upos) == 0:
             return
         per_edge_label = state["label"][block["src_pos"]][block["src_code"]]
-        seg_len = np.diff(block["dst_ptr"])
-        dst_idx = np.repeat(np.arange(len(udst), dtype=np.int64), seg_len)
+        dst_idx = block["dst_code"]
         # count per (dst, label): lexsort then run-length encode
         order = np.lexsort((per_edge_label, dst_idx))
         d, l = dst_idx[order], per_edge_label[order]
@@ -55,16 +54,19 @@ class CDLP(Superstep):
         starts = np.flatnonzero(new_run)
         cnt = np.diff(np.r_[starts, len(d)]).astype(np.int64)
         rd, rl = d[starts], l[starts]
-        pid_of = block["udst_pid"][rd]
-        for q in np.unique(pid_of):
-            m = pid_of == q
-            yield int(q), udst[rd[m]], {"label": rl[m], "cnt": cnt[m]}
+        # rd ascending -> slice per target via the run index boundaries
+        tgt_ptr = block["tgt_ptr"]
+        bounds = np.searchsorted(rd, tgt_ptr)
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = bounds[q], bounds[q + 1]
+            if lo < hi:
+                yield q, upos[rd[lo:hi]], {"label": rl[lo:hi], "cnt": cnt[lo:hi]}
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         label = state["label"].copy()
         n_changed = 0
-        if len(msgs["dst"]):
-            pos = np.searchsorted(oids, msgs["dst"])
+        if len(msgs["pos"]):
+            pos = msgs["pos"].astype(np.int64)
             # merge partial counts per (pos, label)
             order = np.lexsort((msgs["label"], pos))
             p, l, c = pos[order], msgs["label"][order], msgs["cnt"][order]

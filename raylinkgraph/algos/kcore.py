@@ -41,27 +41,32 @@ class KCore(Superstep):
         )
 
     def scatter(self, state, block, scalars):
-        if len(block["udst"]) == 0:
+        if len(block["udst_pos"]) == 0:
             return
         rem = state["just_removed"][block["src_pos"]].astype(np.int64)
         per_edge = rem[block["src_code"]]
-        decs = np.add.reduceat(per_edge, block["dst_ptr"][:-1])
+        decs = np.bincount(
+            block["dst_code"], weights=per_edge, minlength=len(block["udst_pos"])
+        ).astype(np.int64)
         live = decs > 0
         if not live.any():
             return
-        udst_pid = block["udst_pid"]
-        for q in np.unique(udst_pid[live]):
-            m = live & (udst_pid == q)
-            yield int(q), block["udst"][m], {"dec": decs[m]}
+        tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
+            if lo >= hi:
+                continue
+            m = live[lo:hi]
+            if m.any():
+                yield q, pos[lo:hi][m], {"dec": decs[lo:hi][m]}
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         cur = state["cur_deg"].copy()
         alive = state["alive"].copy()
-        if len(msgs["dst"]):
-            pos = np.searchsorted(oids, msgs["dst"])
-            cur -= np.bincount(pos, weights=msgs["dec"], minlength=len(oids)).astype(
-                np.int64
-            )
+        if len(msgs["pos"]):
+            cur -= np.bincount(
+                msgs["pos"], weights=msgs["dec"], minlength=len(oids)
+            ).astype(np.int64)
         just_removed = alive & (cur < self.k)
         alive = alive & ~just_removed
         return (

@@ -26,6 +26,7 @@ class PageRank(Superstep):
     state_dtypes = {"rank": pa.float64(), "share": pa.float64()}
     scatter_columns = ["share"]
     msg_dtypes = {"val": pa.float64()}
+    static_messages = True
     scalar_names = ["dangling", "l1", "rank_sum"]
 
     def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1e-6,
@@ -56,21 +57,36 @@ class PageRank(Superstep):
 
     def scatter(self, state, block, scalars):
         share = state["share"]
-        if len(block["udst"]) == 0:
+        if len(block["udst_pos"]) == 0:
             return
         per_edge = share[block["src_pos"]][block["src_code"]]
-        sums = np.add.reduceat(per_edge, block["dst_ptr"][:-1])
-        udst_pid = block["udst_pid"]
-        for q in np.unique(udst_pid):
-            m = udst_pid == q
-            yield int(q), block["udst"][m], {"val": sums[m]}
+        sums = np.bincount(
+            block["dst_code"], weights=per_edge, minlength=len(block["udst_pos"])
+        )
+        tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
+            if lo < hi:
+                yield q, pos[lo:hi], {"val": sums[lo:hi]}
+
+    def apply_chunks(self, oids, out_deg, state, chunks, scalars):
+        """Chunk-wise reduce (resident engine): per-sender bincounts summed
+        into one dense accumulator — no message concatenation."""
+        n_local = len(oids)
+        agg = np.zeros(n_local)
+        for pos, payload in chunks:
+            agg += np.bincount(pos, weights=payload["val"], minlength=n_local)
+        return self._finish(oids, out_deg, state, agg, scalars)
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         n_local = len(oids)
         agg = np.zeros(n_local)
-        if len(msgs["dst"]):
-            pos = np.searchsorted(oids, msgs["dst"])
-            agg = np.bincount(pos, weights=msgs["val"], minlength=n_local)
+        if len(msgs["pos"]):
+            agg = np.bincount(msgs["pos"], weights=msgs["val"], minlength=n_local)
+        return self._finish(oids, out_deg, state, agg, scalars)
+
+    def _finish(self, oids, out_deg, state, agg, scalars):
+        n_local = len(oids)
         dangling = scalars["dangling"]
         base = (1.0 - self.alpha) / self.n + self.alpha * dangling / self.n
         new_rank = self.alpha * agg + base

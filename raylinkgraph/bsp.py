@@ -31,6 +31,7 @@ core/app/pregel/i_vertex_program.h:45-92), natively Arrow-batch-oriented.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -56,6 +57,11 @@ class Superstep:
     msg_dtypes: dict[str, pa.DataType] = {}
     #: names of per-partition scalar partials (reduced by summation)
     scalar_names: list[str] = []
+    #: True when scatter emits the SAME (target, pos) structure every
+    #: round (all-active algorithms like PageRank): engines may then ship
+    #: positions once and only stream payload values afterwards — the
+    #: analogue of the reference's fixed preallocated message channels
+    static_messages: bool = False
 
     def params(self) -> dict:
         return {}
@@ -85,6 +91,7 @@ class BSPResult:
     converged: bool
     scalars: dict
     history: list = field(default_factory=list)
+    iterate_sec: float = 0.0  # wall-clock of the superstep loop only
 
     def state_ds(self) -> rd.Dataset:
         return rd.read_parquet(ckpt.step_dir(self.workdir, self.final_step))
@@ -109,7 +116,10 @@ def _list_np(col, flat_dtype) -> list[np.ndarray]:
 
 
 def _msg_schema(algo: Superstep) -> pa.Schema:
-    fields = [("pid", pa.int32()), ("dst", pa.large_list(pa.int64()))]
+    # messages address receivers by POSITION in the target partition's
+    # sorted oid array (precomputed at CSR build) — int32, no per-round
+    # hashing/searchsorted on the receive side
+    fields = [("pid", pa.int32()), ("pos", pa.large_list(pa.int32()))]
     fields += [(k, pa.large_list(t)) for k, t in algo.msg_dtypes.items()]
     return pa.schema(fields)
 
@@ -153,6 +163,7 @@ def run_bsp(
     csr = graph.csr_ds()
     rounds_done = step
     converged = algo.converged(scalars, rounds_done)
+    loop_t0 = time.time()
     while not converged and rounds_done < max_rounds:
         cur, nxt = rounds_done, rounds_done + 1
         scatter_fn = _make_scatter(algo, workdir, cur, dict(scalars))
@@ -183,6 +194,7 @@ def run_bsp(
         converged=converged,
         scalars=scalars,
         history=history,
+        iterate_sec=time.time() - loop_t0,
     )
 
 
@@ -247,8 +259,9 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
         src_pos = _list_np(batch.column("src_pos"), np.int64)
         src_code = _list_np(batch.column("src_code"), np.int32)
         dst_ptr = _list_np(batch.column("dst_ptr"), np.int64)
-        udst = _list_np(batch.column("udst"), np.int64)
-        udst_pid = _list_np(batch.column("udst_pid"), np.int32)
+        dst_code = _list_np(batch.column("dst_code"), np.int32)
+        udst_pos = _list_np(batch.column("udst_pos"), np.int32)
+        tgt_ptr = _list_np(batch.column("tgt_ptr"), np.int64)
         for i, pid in enumerate(pids):
             pid = int(pid)
             st = state_cache.get(pid)
@@ -261,16 +274,17 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
                 "src_pos": src_pos[i],
                 "src_code": src_code[i],
                 "dst_ptr": dst_ptr[i],
-                "udst": udst[i],
-                "udst_pid": udst_pid[i],
+                "dst_code": dst_code[i],
+                "udst_pos": udst_pos[i],
+                "tgt_ptr": tgt_ptr[i],
             }
-            for q, dst, payload in algo.scatter(st, block, scalars):
+            for q, pos, payload in algo.scatter(st, block, scalars):
                 out["pid"].append(int(q))
-                out["dst"].append(dst)
+                out["pos"].append(pos)
                 for k in payload_names:
                     out[k].append(payload[k])
         cols = {"pid": pa.array(np.asarray(out["pid"], np.int32), pa.int32())}
-        cols["dst"] = pa.array(out["dst"], pa.large_list(pa.int64()))
+        cols["pos"] = pa.array(out["pos"], pa.large_list(pa.int32()))
         for k in payload_names:
             cols[k] = pa.array(out[k], pa.large_list(algo.msg_dtypes[k]))
         return pa.table(cols, schema=msg_schema)
@@ -292,10 +306,10 @@ def _make_apply(
 
     def apply_group(g: pa.Table) -> pa.Table:
         pid = int(g.column("pid")[0].as_py())
-        dst_col = g.column("dst")
-        if isinstance(dst_col, pa.ChunkedArray):
-            dst_col = dst_col.combine_chunks()
-        msgs = {"dst": dst_col.values.to_numpy(zero_copy_only=False)}
+        pos_col = g.column("pos")
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        msgs = {"pos": pos_col.values.to_numpy(zero_copy_only=False)}
         for k in payload_names:
             c = g.column(k)
             if isinstance(c, pa.ChunkedArray):

@@ -76,7 +76,8 @@ def _page_plan(rng: np.random.Generator, i: int, n_pages: int, n_sites: int):
     if rng.random() < 0.05:
         out_deg = 0  # dangling page
     else:
-        out_deg = min(60, int(rng.pareto(1.3)) + 1)
+        # web-realistic density: mean ~17 links/page, pareto tail to 200
+        out_deg = min(200, 4 + int(rng.pareto(1.3) * 4))
     if i % 1009 == 0:
         out_deg = min(n_pages - 1, out_deg * 40)
     u = rng.random(out_deg)

@@ -9,7 +9,9 @@ back with `ray.data.read_parquet` with column pruning.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -18,14 +20,28 @@ import ray.data as rd
 
 from raylinkgraph.schema import PageGen
 
+GEN_VERSION = 2  # bump when the generator's content changes
+
 
 def generate_pages_parquet(
     out_dir: str, n_pages: int, seed: int = 42, use_ray: bool = True
 ) -> str:
     """Write the deterministic pages table to ``out_dir`` (one file per
     generation shard). Idempotent and resumable: existing shard files are
-    kept (shard content depends only on (n_pages, seed))."""
+    kept (shard content depends only on (n_pages, seed, GEN_VERSION));
+    a stale generator version clears the directory first."""
+    meta_path = os.path.join(out_dir, "_gen_meta.json")
+    want_meta = {"n_pages": n_pages, "seed": seed, "version": GEN_VERSION}
+    if os.path.isdir(out_dir):
+        have = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have = json.load(f)
+        if have != want_meta:
+            shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(want_meta, f)
     gen = PageGen(n_pages, seed)
     todo = [
         s

@@ -37,7 +37,9 @@ def write_state(workdir: str, step: int, pid: int, table: pa.Table) -> None:
     d = step_dir(workdir, step)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".state-{pid:05d}.tmp")
-    pq.write_table(table, tmp)
+    # uncompressed: state writes are on the per-superstep critical path and
+    # encode speed beats the ~2x size (numeric columns, short-lived files)
+    pq.write_table(table, tmp, compression="NONE")
     os.rename(tmp, os.path.join(d, f"state-{pid:05d}.parquet"))
 
 
