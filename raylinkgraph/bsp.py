@@ -92,6 +92,7 @@ class BSPResult:
     scalars: dict
     history: list = field(default_factory=list)
     iterate_sec: float = 0.0  # wall-clock of the superstep loop only
+    round_secs: list = field(default_factory=list)  # per-superstep wall
 
     def state_ds(self) -> rd.Dataset:
         return rd.read_parquet(ckpt.step_dir(self.workdir, self.final_step))
@@ -164,7 +165,9 @@ def run_bsp(
     rounds_done = step
     converged = algo.converged(scalars, rounds_done)
     loop_t0 = time.time()
+    round_secs: list[float] = []
     while not converged and rounds_done < max_rounds:
+        rt0 = time.time()
         cur, nxt = rounds_done, rounds_done + 1
         scatter_fn = _make_scatter(algo, workdir, cur, dict(scalars))
         apply_fn = _make_apply(algo, graph_dir, workdir, cur, nxt, dict(scalars), scalar_names)
@@ -186,6 +189,7 @@ def run_bsp(
         rounds_done = nxt
         converged = algo.converged(scalars, rounds_done)
         ckpt.prune_steps(workdir, keep_from=max(0, nxt - keep_steps + 1))
+        round_secs.append(time.time() - rt0)
 
     return BSPResult(
         workdir=workdir,
@@ -195,6 +199,7 @@ def run_bsp(
         scalars=scalars,
         history=history,
         iterate_sec=time.time() - loop_t0,
+        round_secs=round_secs,
     )
 
 

@@ -244,7 +244,9 @@ def run_bsp_actors(
     rounds_done = step
     converged = algo.converged(scalars, rounds_done)
     loop_t0 = time.time()
+    round_secs: list[float] = []
     while not converged and rounds_done < max_rounds:
+        rt0 = time.time()
         nxt = rounds_done + 1
         do_ckpt = (nxt % checkpoint_every == 0) or nxt >= max_rounds
         scatter_refs = [w.scatter.remote(dict(scalars)) for w in workers]
@@ -268,6 +270,7 @@ def run_bsp_actors(
             )
             ckpt.prune_steps(workdir, keep_from=max(0, nxt - keep_steps + 1))
         history.append(scalars)
+        round_secs.append(time.time() - rt0)
 
     iterate_sec = time.time() - loop_t0
     for w in workers:
@@ -280,4 +283,5 @@ def run_bsp_actors(
         scalars=scalars,
         history=history,
         iterate_sec=iterate_sec,
+        round_secs=round_secs,
     )
