@@ -172,6 +172,24 @@ def q_graph_kcore(sf_dir):
     return df.loc[df["alive"], ["oid"]].reset_index(drop=True)
 
 
+def q_graph_sssp(sf_dir):
+    from raylinkgraph.algos.sssp import SSSP
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "ppw")
+    src = int(
+        g.edges_ds().to_pandas()["src_id"].min()
+    )
+    res = run_bsp(g, SSSP(src), workdir_for(sf_dir, "sssp"), max_rounds=10_000)
+    df = res.state_pandas()[["oid", "dist"]]
+    df = df[np.isfinite(df["dist"])]
+    return pd.DataFrame(
+        {"oid": df["oid"].to_numpy(np.int64),
+         "dist": df["dist"].to_numpy(np.float64).astype(np.int64)}
+    ).reset_index(drop=True)
+
+
 def q_doc_token_counts(sf_dir):
     from raylinkgraph.functions.textops import token_counts
 
@@ -333,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": q_graph_bfs,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        "graph_sssp": q_graph_sssp,
         "doc_token_counts": q_doc_token_counts,
         "doc_char_stats": q_doc_char_stats,
         "doc_lang_distribution": q_doc_lang_distribution,
@@ -473,6 +492,40 @@ def _bfs_sql(rounds: int) -> str:
     )
 
 
+def _sssp_sql(rounds: int) -> str:
+    ctes = [
+        "pw AS MATERIALIZED (SELECT LEAST(a.l_partkey, b.l_partkey) AS u, "
+        "GREATEST(a.l_partkey, b.l_partkey) AS v, COUNT(*)::DOUBLE AS w "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2)",
+        "uw AS MATERIALIZED (SELECT u AS s, v AS d, w FROM pw "
+        "UNION ALL SELECT v, u, w FROM pw)",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uw)",
+        "src AS MATERIALIZED (SELECT MIN(u) AS s FROM pw)",
+        "s0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM src) "
+        "THEN 0.0 END AS dist FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"sm{i} AS MATERIALIZED (SELECT e.d AS v, MIN(d2.dist + e.w) AS nd "
+            f"FROM uw e JOIN s{i} d2 ON e.s = d2.v "
+            f"WHERE d2.dist IS NOT NULL GROUP BY e.d)"
+        )
+        ctes.append(
+            f"s{i+1} AS MATERIALIZED (SELECT d.v, CASE "
+            f"WHEN d.dist IS NULL THEN sm{i}.nd "
+            f"WHEN sm{i}.nd IS NULL THEN d.dist "
+            f"ELSE LEAST(d.dist, sm{i}.nd) END AS dist "
+            f"FROM s{i} d LEFT JOIN sm{i} ON sm{i}.v = d.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(dist AS BIGINT) AS dist FROM s{rounds} "
+        "WHERE dist IS NOT NULL ORDER BY oid"
+    )
+
+
 def _triangles_sql() -> str:
     return f"""
 WITH pedges AS MATERIALIZED ({_PP_EDGES}),
@@ -557,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs": _bfs_sql(25),
         "graph_triangles": _triangles_sql(),
         "graph_kcore": _kcore_sql(20, KCORE_K),
+        "graph_sssp": _sssp_sql(15),
         "doc_token_counts": (
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents ORDER BY doc_id"

@@ -80,6 +80,21 @@ def run_bench() -> dict:
     # warm the page cache so build timing measures compute, not first I/O
     rd.read_parquet(pages_dir).count()
 
+    # warm Ray's worker-process pool: first-ever actor creation pays
+    # python import time in every new worker process (~13s for 31
+    # actors cold vs ~2s warm); all timed phases below reuse the pool
+    @ray.remote
+    class _Warm:
+        def ping(self):
+            import numpy  # noqa: F401
+            import pyarrow.parquet  # noqa: F401
+            return 1
+
+    warm = [_Warm.remote() for _ in range(max(2, NUM_CPUS))]
+    ray.get([w.ping.remote() for w in warm])
+    for w in warm:
+        ray.kill(w)
+
     # ---- pipeline build (extract -> edges -> CSR) -----------------------
     run_tag = f"{n_pages}-c{NUM_CPUS}-{int(time.time())}"
     out_dir = os.path.join(BENCH_ROOT, f"pipe-{run_tag}")

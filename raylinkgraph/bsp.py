@@ -267,6 +267,11 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
         dst_code = _list_np(batch.column("dst_code"), np.int32)
         udst_pos = _list_np(batch.column("udst_pos"), np.int32)
         tgt_ptr = _list_np(batch.column("tgt_ptr"), np.int64)
+        weight = (
+            _list_np(batch.column("weight"), np.float64)
+            if "weight" in batch.column_names
+            else None
+        )
         for i, pid in enumerate(pids):
             pid = int(pid)
             st = state_cache.get(pid)
@@ -283,6 +288,8 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
                 "udst_pos": udst_pos[i],
                 "tgt_ptr": tgt_ptr[i],
             }
+            if weight is not None:
+                block["weight"] = weight[i]
             for q, pos, payload in algo.scatter(st, block, scalars):
                 out["pid"].append(int(q))
                 out["pos"].append(pos)

@@ -65,6 +65,8 @@ class _Partition:
                 "udst_pos": _np(t.column("udst_pos")[i].values),
                 "tgt_ptr": _np(t.column("tgt_ptr")[i].values),
             }
+            if "weight" in t.column_names:
+                b["weight"] = _np(t.column("weight")[i].values)
             for v in b.values():
                 if isinstance(v, np.ndarray) and len(v):
                     _ = v.sum()  # fault every page in at init, not in round 1

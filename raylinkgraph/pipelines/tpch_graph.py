@@ -68,6 +68,31 @@ def cp_edges(sf_dir: str) -> rd.Dataset:
     ).map_batches(Join, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
 
 
+def pp_weighted_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
+    """(u, v, weight) part co-order pairs, weight = number of orders the
+    pair co-occurs in (aggregated via one pair-keyed groupby shuffle)."""
+    pairs = pp_edges(sf_dir, buckets=buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("src_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("wpid", pa.array(partition_of(u, buckets), pa.int32()))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["src_id", "dst_id"], sort=True)
+            .size()
+            .reset_index(name="weight")
+        )
+        out["weight"] = out["weight"].astype(np.float64)
+        return out
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("wpid")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 def pp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     """part -- part co-order pairs (u < v), deduplicated downstream.
 
@@ -140,6 +165,11 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
             g = LinkGraph.build(cp_edges(sf_dir), gdir, P=P, symmetrize=True)
         elif kind == "pp":
             g = LinkGraph.build(pp_edges(sf_dir), gdir, P=P, symmetrize=True)
+        elif kind == "ppw":
+            g = LinkGraph.build(
+                pp_weighted_edges(sf_dir), gdir, P=P, symmetrize=True,
+                weight_col="weight",
+            )
         else:
             raise ValueError(kind)
     _MEMO[key] = g

@@ -63,6 +63,9 @@ CSR_SCHEMA = pa.schema(
 )
 
 
+WEIGHTED_CSR_SCHEMA = CSR_SCHEMA.append(pa.field("weight", pa.large_list(pa.float64())))
+
+
 def _atomic_write(table: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
@@ -119,6 +122,7 @@ class LinkGraph:
         max_edges_per_block: int = 1 << 20,
         src_col: str = "src_id",
         dst_col: str = "dst_id",
+        weight_col: str | None = None,
     ) -> "LinkGraph":
         """Build all graph artifacts from an edge Dataset (int64 endpoints).
 
@@ -132,29 +136,45 @@ class LinkGraph:
         def add_pid(batch: pa.Table) -> pa.Table:
             src = batch.column(src_col).to_numpy(zero_copy_only=False)
             dst = batch.column(dst_col).to_numpy(zero_copy_only=False)
+            w = (
+                batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+                if weight_col
+                else None
+            )
             if symmetrize:
                 src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+                if w is not None:
+                    w = np.concatenate([w, w])
             keep = src != dst
             src, dst = src[keep], dst[keep]
-            return pa.table(
-                {
-                    "src_id": pa.array(src, pa.int64()),
-                    "dst_id": pa.array(dst, pa.int64()),
-                    "pid": pa.array(partition_of(src, P), pa.int32()),
-                }
-            )
+            cols = {
+                "src_id": pa.array(src, pa.int64()),
+                "dst_id": pa.array(dst, pa.int64()),
+                "pid": pa.array(partition_of(src, P), pa.int32()),
+            }
+            if w is not None:
+                cols["weight"] = pa.array(w[keep], pa.float64())
+            return pa.table(cols)
 
         def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
             pid = int(g["pid"].iloc[0])
-            g = g.drop_duplicates(["src_id", "dst_id"])
+            if weight_col:
+                # deterministic duplicate rule: keep the MIN weight
+                g = (
+                    g.groupby(["src_id", "dst_id"], sort=False, as_index=False)
+                    .agg(weight=("weight", "min"), pid=("pid", "first"))
+                )
+            else:
+                g = g.drop_duplicates(["src_id", "dst_id"])
             arr = g.sort_values(["src_id", "dst_id"])
+            cols = {
+                "src_id": pa.array(arr["src_id"].to_numpy(), pa.int64()),
+                "dst_id": pa.array(arr["dst_id"].to_numpy(), pa.int64()),
+            }
+            if weight_col:
+                cols["weight"] = pa.array(arr["weight"].to_numpy(np.float64), pa.float64())
             _atomic_write(
-                pa.table(
-                    {
-                        "src_id": pa.array(arr["src_id"].to_numpy(), pa.int64()),
-                        "dst_id": pa.array(arr["dst_id"].to_numpy(), pa.int64()),
-                    }
-                ),
+                pa.table(cols),
                 os.path.join(graph_dir, "edges", f"edges-{pid:05d}.parquet"),
             )
             deg = g.groupby("src_id", sort=False).size()
@@ -248,14 +268,17 @@ class LinkGraph:
 
         # ---- Pass C: CSR blocks ------------------------------------------
         def build_csr(batch: pa.Table) -> pa.Table:
+            schema = WEIGHTED_CSR_SCHEMA if weight_col else CSR_SCHEMA
             done = []
             for pid in batch.column("id").to_pylist():
                 pid = int(pid)
-                rows = _build_csr_for_pid(graph_dir, pid, P, max_edges_per_block)
+                rows = _build_csr_for_pid(
+                    graph_dir, pid, P, max_edges_per_block, bool(weight_col)
+                )
                 t = (
-                    pa.Table.from_pylist(rows, schema=CSR_SCHEMA)
+                    pa.Table.from_pylist(rows, schema=schema)
                     if rows
-                    else CSR_SCHEMA.empty_table()
+                    else schema.empty_table()
                 )
                 # one file per pid: resident actors read exactly their own
                 _atomic_write(t, os.path.join(graph_dir, "csr", f"csr-{pid:05d}.parquet"))
@@ -278,6 +301,7 @@ class LinkGraph:
             "n_vertices": n_vertices,
             "n_edges": int(n_edges),
             "symmetrize": symmetrize,
+            "weighted": bool(weight_col),
             "max_edges_per_block": max_edges_per_block,
             "digest": f"v{n_vertices}-e{n_edges}-p{P}-s{int(symmetrize)}",
         }
@@ -298,7 +322,8 @@ def _read_oids(graph_dir: str, pid: int) -> np.ndarray:
 
 
 def _build_csr_for_pid(
-    graph_dir: str, pid: int, P: int, max_edges_per_block: int
+    graph_dir: str, pid: int, P: int, max_edges_per_block: int,
+    weighted: bool = False,
 ) -> list[dict]:
     """Blocks laid out for zero-mask scatter: edges sorted by
     (hash(dst)%P, dst, src) so destination segments are contiguous AND
@@ -314,12 +339,19 @@ def _build_csr_for_pid(
     )
     src = edges.column("src_id").to_numpy(zero_copy_only=False)
     dst = edges.column("dst_id").to_numpy(zero_copy_only=False)
+    w = (
+        edges.column("weight").to_numpy(zero_copy_only=False)
+        if weighted and edges.num_rows
+        else None
+    )
     if len(src) == 0:
         return []
     oids = _read_oids(graph_dir, pid)
     dst_pid = partition_of(dst, P)
     order = np.lexsort((src, dst, dst_pid))
     src, dst, dst_pid = src[order], dst[order], dst_pid[order]
+    if w is not None:
+        w = w[order]
     tgt_oids_cache: dict[int, np.ndarray] = {}
     rows = []
     for block_id, lo in enumerate(range(0, len(src), max_edges_per_block)):
@@ -347,18 +379,19 @@ def _build_csr_for_pid(
                 assert len(toids) < 2**31
                 tgt_oids_cache[q] = toids
             udst_pos[qlo:qhi] = np.searchsorted(toids, udst[qlo:qhi]).astype(np.int32)
-        rows.append(
-            {
-                "pid": pid,
-                "block_id": block_id,
-                "n_edges": int(hi - lo),
-                "src_pos": np.searchsorted(oids, usrc).astype(np.int64),
-                "src_code": src_code.astype(np.int32),
-                "dst_ptr": dst_ptr,
-                "dst_code": dst_code,
-                "udst": udst,
-                "udst_pos": udst_pos,
-                "tgt_ptr": tgt_ptr,
-            }
-        )
+        row = {
+            "pid": pid,
+            "block_id": block_id,
+            "n_edges": int(hi - lo),
+            "src_pos": np.searchsorted(oids, usrc).astype(np.int64),
+            "src_code": src_code.astype(np.int32),
+            "dst_ptr": dst_ptr,
+            "dst_code": dst_code,
+            "udst": udst,
+            "udst_pos": udst_pos,
+            "tgt_ptr": tgt_ptr,
+        }
+        if w is not None:
+            row["weight"] = w[lo:hi]
+        rows.append(row)
     return rows
