@@ -190,6 +190,107 @@ def q_graph_sssp(sf_dir):
     ).reset_index(drop=True)
 
 
+def q_graph_katz(sf_dir):
+    """Katz centrality, fixed 8 rounds, final L2 normalization."""
+    from raylinkgraph.algos.katz import Katz
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    res = run_bsp(
+        g, Katz(alpha=0.05, beta=1.0, tol=0.0, max_rounds=8, n_vertices=g.n_vertices),
+        workdir_for(sf_dir, "katz"), max_rounds=8,
+    )
+    df = res.state_pandas()
+    norm = np.sqrt(res.scalars["sumsq"])
+    return pd.DataFrame(
+        {"oid": df["oid"], "katz_e6": _rank_e6(df["x"].to_numpy() / norm)}
+    )
+
+
+def q_graph_lcc(sf_dir):
+    """Local clustering coefficient from triangles + degrees."""
+    from raylinkgraph.algos.triangles import lcc_from_triangles, run_triangles
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    tri = run_triangles(g, workdir_for(sf_dir, "tri-lcc"))
+    lcc = lcc_from_triangles(g, tri)
+    return pd.DataFrame({"oid": lcc["oid"], "lcc_e6": _rank_e6(lcc["lcc"].to_numpy())})
+
+
+def q_graph_transitivity(sf_dir):
+    """Global transitivity + average clustering (gs transitivity /
+    avg_clustering, yaml:180-186) as a one-row table."""
+    from raylinkgraph.algos.triangles import lcc_from_triangles, run_triangles
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    tri = run_triangles(g, workdir_for(sf_dir, "tri-trans"))
+    degs = graph_ops.out_degrees(g).to_pandas()
+    m = tri.merge(degs, on="oid")
+    triads = float((m["out_deg"] * (m["out_deg"] - 1) / 2).sum())
+    closed = float(m["tricnt"].sum())  # = 3 * #triangles
+    transitivity = closed / triads if triads else 0.0
+    lcc = lcc_from_triangles(g, tri)
+    return pd.DataFrame(
+        {
+            "transitivity_e6": _rank_e6(np.array([transitivity])),
+            "avg_clustering_e6": _rank_e6(np.array([lcc["lcc"].mean()])),
+        }
+    )
+
+
+def q_graph_assortativity(sf_dir):
+    """Degree assortativity: Pearson r of (deg(u), deg(v)) over the
+    symmetrized edge list (reference's global mixing-matrix gather,
+    apps/assortativity/degree_assortativity_coefficient.h:36, recast as
+    distributed moment partials)."""
+    from raylinkgraph.pipelines.graph_ops import degree_assortativity
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    r = degree_assortativity(g)
+    return pd.DataFrame({"assortativity_e6": _rank_e6(np.array([r]))})
+
+
+def q_rel_orders_by_status(sf_dir):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    out = (
+        orders.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="tp"))
+        .to_pandas()
+    )
+    # cents, not 1e-6: sums are ~1e9, so e6 scaling exceeds float64's
+    # order-reproducible digits; cents leave ~1e-6 absolute headroom
+    out["total_cents"] = np.floor(out["tp"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["o_orderstatus", "n", "total_cents"]].sort_values(
+        "o_orderstatus"
+    ).reset_index(drop=True)
+
+
+def q_rel_top_parts(sf_dir):
+    """Top-20 parts by distinct ordering customers: groupby + sort +
+    limit over the cp edge table (deterministic tie-break on part id)."""
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    ind = g.edges_ds().groupby("dst_id").count().to_pandas()
+    ind = ind.rename(columns={"count()": "n_customers"})
+    ind["n_customers"] = ind["n_customers"].astype(np.int64)
+    out = ind.sort_values(
+        ["n_customers", "dst_id"], ascending=[False, True]
+    ).head(20)
+    return out[["dst_id", "n_customers"]].reset_index(drop=True)
+
+
 def q_doc_token_counts(sf_dir):
     from raylinkgraph.functions.textops import token_counts
 
@@ -352,6 +453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
+        "graph_katz": q_graph_katz,
+        "graph_lcc": q_graph_lcc,
+        "graph_transitivity": q_graph_transitivity,
+        "graph_assortativity": q_graph_assortativity,
+        "rel_orders_by_status": q_rel_orders_by_status,
+        "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
         "doc_char_stats": q_doc_char_stats,
         "doc_lang_distribution": q_doc_lang_distribution,
@@ -526,6 +633,90 @@ def _sssp_sql(rounds: int) -> str:
     )
 
 
+def _katz_sql(rounds: int, alpha: float, beta: float) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "k0 AS MATERIALIZED (SELECT v, 0.0 AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"km{i} AS MATERIALIZED (SELECT e.dst_id AS v, SUM(k.x) AS s "
+            f"FROM edges e JOIN k{i} k ON e.src_id = k.v GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"k{i+1} AS MATERIALIZED (SELECT verts.v, "
+            f"{alpha} * COALESCE(km{i}.s, 0) + {beta} AS x "
+            f"FROM verts LEFT JOIN km{i} ON km{i}.v = verts.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nnrm AS (SELECT SQRT(SUM(x * x)) AS s FROM k{rounds})"
+        f"\nSELECT v AS oid, CAST(FLOOR(x / (SELECT s FROM nrm) * 1e6 + 0.5) AS BIGINT)"
+        f" AS katz_e6 FROM k{rounds} ORDER BY oid"
+    )
+
+
+_TRI_BASE = """
+pedges AS MATERIALIZED ({pp}),
+verts AS MATERIALIZED (SELECT u AS v FROM pedges UNION SELECT v FROM pedges),
+deg AS MATERIALIZED (
+  SELECT x AS v, COUNT(*) AS d FROM (
+    SELECT u AS x FROM pedges UNION ALL SELECT v FROM pedges) GROUP BY x
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pedges e1
+  JOIN pedges e2 ON e2.u = e1.v
+  JOIN pedges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cnt AS MATERIALIZED (
+  SELECT x AS v, COUNT(*) AS c FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY x
+),
+pv AS MATERIALIZED (
+  SELECT verts.v, COALESCE(cnt.c, 0) AS tric, deg.d
+  FROM verts LEFT JOIN cnt ON cnt.v = verts.v JOIN deg ON deg.v = verts.v
+)
+"""
+
+
+def _lcc_sql() -> str:
+    return (
+        "WITH " + _TRI_BASE.format(pp=_PP_EDGES)
+        + """
+SELECT v AS oid, CAST(FLOOR(
+  CASE WHEN d > 1 THEN 2.0 * tric / (d * (d - 1.0)) ELSE 0.0 END * 1e6 + 0.5
+) AS BIGINT) AS lcc_e6 FROM pv ORDER BY oid
+"""
+    )
+
+
+def _transitivity_sql() -> str:
+    return (
+        "WITH " + _TRI_BASE.format(pp=_PP_EDGES)
+        + """
+SELECT
+  CAST(FLOOR(SUM(tric)::DOUBLE / NULLIF(SUM(d * (d - 1.0) / 2), 0) * 1e6 + 0.5) AS BIGINT)
+    AS transitivity_e6,
+  CAST(FLOOR(AVG(CASE WHEN d > 1 THEN 2.0 * tric / (d * (d - 1.0)) ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
+    AS avg_clustering_e6
+FROM pv
+"""
+    )
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PP_EDGES}),
+uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges UNION ALL SELECT v, u FROM pedges),
+deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS dg FROM uedges GROUP BY s)
+SELECT CAST(FLOOR(CORR(ds.dg, dd.dg) * 1e6 + 0.5) AS BIGINT) AS assortativity_e6
+FROM uedges e JOIN deg ds ON ds.v = e.s JOIN deg dd ON dd.v = e.d
+"""
+
+
 def _triangles_sql() -> str:
     return f"""
 WITH pedges AS MATERIALIZED ({_PP_EDGES}),
@@ -611,6 +802,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _triangles_sql(),
         "graph_kcore": _kcore_sql(20, KCORE_K),
         "graph_sssp": _sssp_sql(15),
+        "graph_katz": _katz_sql(8, 0.05, 1.0),
+        "graph_lcc": _lcc_sql(),
+        "graph_transitivity": _transitivity_sql(),
+        "graph_assortativity": _assortativity_sql(),
+        "rel_orders_by_status": (
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "rel_top_parts": (
+            f"SELECT dst_id, COUNT(*) AS n_customers FROM ({_EDGES}) "
+            "GROUP BY dst_id ORDER BY n_customers DESC, dst_id ASC LIMIT 20"
+        ),
         "doc_token_counts": (
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents ORDER BY doc_id"

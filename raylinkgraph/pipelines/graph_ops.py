@@ -99,6 +99,64 @@ def degree_centrality(graph: LinkGraph) -> rd.Dataset:
     return vertices_ds(graph).map_batches(f, batch_format="pyarrow")
 
 
+def degree_assortativity(graph: LinkGraph) -> float:
+    """Pearson r of (deg(src), deg(dst)) over the (symmetrized) edge list.
+
+    The reference gathers a global degree-mixing matrix at worker 0
+    (apps/assortativity/degree_assortativity_coefficient.h:36,
+    attribute_assortativity.h:169); here each partition emits the five
+    moment partials (n, Sx, Sy, Sxx, Syy, Sxy) — a pre-aggregated
+    all-reduce instead of a matrix gather."""
+    P = graph.P
+
+    def tag(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("dpid", pa.array(partition_of(dst, P), pa.int32()))
+
+    def attach_dst_deg(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["dpid"].iloc[0])
+        vs = pq.read_table(graph.vertexstate_path(pid))
+        oids = vs.column("oid").to_numpy(zero_copy_only=False)
+        deg = vs.column("out_deg").to_numpy(zero_copy_only=False)
+        g = g[["src_id", "dst_id"]].copy()
+        g["deg_dst"] = deg[np.searchsorted(oids, g["dst_id"].to_numpy(np.int64))]
+        return g
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("spid", pa.array(partition_of(src, P), pa.int32()))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["spid"].iloc[0])
+        vs = pq.read_table(graph.vertexstate_path(pid))
+        oids = vs.column("oid").to_numpy(zero_copy_only=False)
+        deg = vs.column("out_deg").to_numpy(zero_copy_only=False)
+        x = deg[np.searchsorted(oids, g["src_id"].to_numpy(np.int64))].astype(np.float64)
+        y = g["deg_dst"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()], "sxy": [(x * y).sum()],
+            }
+        )
+
+    m = (
+        graph.edges_ds()
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("dpid")
+        .map_groups(attach_dst_deg, batch_format="pandas")
+        .map_batches(tag_src, batch_format="pyarrow")
+        .groupby("spid")
+        .map_groups(moments, batch_format="pandas")
+    ).to_pandas().sum()
+    n, sx, sy, sxx, syy, sxy = m["n"], m["sx"], m["sy"], m["sxx"], m["syy"], m["sxy"]
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    denom = np.sqrt(vx * vy)
+    return float(cov / denom) if denom else 0.0
+
+
 def has_node(graph: LinkGraph, oid: int) -> bool:
     """Point query against the home partition only (no full scan)."""
     pid = int(partition_of(np.array([oid], np.int64), graph.P)[0])
