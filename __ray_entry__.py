@@ -291,6 +291,40 @@ def q_rel_top_parts(sf_dir):
     return out[["dst_id", "n_customers"]].reset_index(drop=True)
 
 
+HITS_ITER = 8
+
+
+def q_graph_hits(sf_dir):
+    from raylinkgraph.algos.hits import HITS, augment_edges
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import CACHE_ROOT, get_graph, workdir_for
+    from raylinkgraph.stages.graph_build import LinkGraph
+    import os
+
+    base = get_graph(sf_dir, "cp")
+    aug_dir = os.path.join(CACHE_ROOT, "hits-aug-" + os.path.basename(base.graph_dir))
+    if os.path.exists(os.path.join(aug_dir, "meta.json")):
+        g = LinkGraph(aug_dir)
+    else:
+        import ray.data as rd
+
+        aug = augment_edges(base.edges_ds().to_pandas())
+        g = LinkGraph.build(
+            rd.from_pandas(aug), aug_dir, P=base.P, symmetrize=False,
+            weight_col="flag", dedup_weight="sum",
+        )
+    algo = HITS(g.n_vertices, max_iter=HITS_ITER)
+    res = run_bsp(g, algo, workdir_for(sf_dir, "hits"), max_rounds=2 * HITS_ITER)
+    out = algo.finalize(res.state_pandas(), res.scalars)
+    return pd.DataFrame(
+        {
+            "oid": out["oid"],
+            "auth_e6": _rank_e6(out["a"].to_numpy()),
+            "hub_e6": _rank_e6(out["h"].to_numpy()),
+        }
+    )
+
+
 def q_doc_token_counts(sf_dir):
     from raylinkgraph.functions.textops import token_counts
 
@@ -457,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lcc": q_graph_lcc,
         "graph_transitivity": q_graph_transitivity,
         "graph_assortativity": q_graph_assortativity,
+        "graph_hits": q_graph_hits,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
@@ -717,6 +752,39 @@ FROM uedges e JOIN deg ds ON ds.v = e.s JOIN deg dd ON dd.v = e.d
 """
 
 
+def _hits_sql(iters: int) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS x FROM verts "
+            f"LEFT JOIN (SELECT e.dst_id AS v, SUM(h.x) AS s FROM edges e "
+            f"JOIN h{i} h ON e.src_id = h.v GROUP BY e.dst_id) m ON m.v = verts.v)"
+        )
+        ctes.append(
+            f"a{i+1} AS MATERIALIZED (SELECT v, x / NULLIF((SELECT SUM(x) FROM ar{i}), 0) AS x FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(m.s, 0) AS x FROM verts "
+            f"LEFT JOIN (SELECT e.src_id AS v, SUM(a.x) AS s FROM edges e "
+            f"JOIN a{i+1} a ON e.dst_id = a.v GROUP BY e.src_id) m ON m.v = verts.v)"
+        )
+        ctes.append(
+            f"h{i+1} AS MATERIALIZED (SELECT v, x / NULLIF((SELECT SUM(x) FROM hr{i}), 0) AS x FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.v AS oid, "
+        f"CAST(FLOOR(a.x * 1e6 + 0.5) AS BIGINT) AS auth_e6, "
+        f"CAST(FLOOR(h.x * 1e6 + 0.5) AS BIGINT) AS hub_e6 "
+        f"FROM a{iters} a JOIN h{iters} h ON h.v = a.v ORDER BY oid"
+    )
+
+
 def _triangles_sql() -> str:
     return f"""
 WITH pedges AS MATERIALIZED ({_PP_EDGES}),
@@ -803,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(20, KCORE_K),
         "graph_sssp": _sssp_sql(15),
         "graph_katz": _katz_sql(8, 0.05, 1.0),
+        "graph_hits": _hits_sql(HITS_ITER),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -123,6 +123,7 @@ class LinkGraph:
         src_col: str = "src_id",
         dst_col: str = "dst_id",
         weight_col: str | None = None,
+        dedup_weight: str = "min",
     ) -> "LinkGraph":
         """Build all graph artifacts from an edge Dataset (int64 endpoints).
 
@@ -159,10 +160,11 @@ class LinkGraph:
         def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
             pid = int(g["pid"].iloc[0])
             if weight_col:
-                # deterministic duplicate rule: keep the MIN weight
+                # deterministic duplicate rule: MIN (shortest-path style)
+                # or SUM (multiplicities / direction-flag OR-ing)
                 g = (
                     g.groupby(["src_id", "dst_id"], sort=False, as_index=False)
-                    .agg(weight=("weight", "min"), pid=("pid", "first"))
+                    .agg(weight=("weight", dedup_weight), pid=("pid", "first"))
                 )
             else:
                 g = g.drop_duplicates(["src_id", "dst_id"])
