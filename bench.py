@@ -42,6 +42,8 @@ def sf_of(sf_dir: str) -> float:
 
 
 def run_bench() -> dict:
+    if not os.path.isdir(SF_DIR):
+        raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
     import ray
     import ray.data as rd
 
