@@ -178,6 +178,22 @@ def successors(graph: LinkGraph, oid: int) -> np.ndarray:
     return dst[lo:hi]
 
 
+def predecessors(graph: LinkGraph, oid: int) -> np.ndarray:
+    """PREDS_BY_NODE (fragment_reporter.h:69-208): in-neighbors of oid.
+
+    Unlike successors() this cannot read a single partition (edges are
+    src-partitioned), so it is a distributed column-pruned scan with a
+    vectorized filter — the same shape the reference uses for reverse
+    lookups on kOnlyOut-loaded graphs."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch.column("dst_id"), oid)
+        return batch.filter(m).select(["src_id"])
+
+    out = graph.edges_ds().map_batches(f, batch_format="pyarrow").to_pandas()
+    return np.sort(out["src_id"].to_numpy(np.int64))
+
+
 def subgraph_edges(graph: LinkGraph, keep_oids: set[int] | np.ndarray) -> rd.Dataset:
     """Induced-subgraph edge table (CREATE_SUBGRAPH, dag_utils.py:709):
     broadcast the (small) vertex set, filter inside map_batches."""
