@@ -441,6 +441,38 @@ def q_events_sessions(sf_dir):
     )
 
 
+def q_events_tumbling(sf_dir):
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import tumbling_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = tumbling_counts(ev, window_sec=3600).to_pandas()
+    out["sum_value_e6"] = _rank_e6(out["sum_value"].to_numpy())
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "w", "n", "sum_value_e6"]].sort_values(
+        ["event_type", "w"]
+    ).reset_index(drop=True)
+
+
+def q_events_asof_prev(sf_dir):
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import asof_previous_event
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return (
+        asof_previous_event(ev)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_media_features(sf_dir):
     """Multimodal plumbing over a deterministic binary table derived from
     the documents texts (payload = utf-8 bytes). Rows-only check."""
@@ -507,6 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
+        "events_tumbling": q_events_tumbling,
+        "events_asof_prev": q_events_asof_prev,
         "media_features": q_media_features,
         "pages_pagerank": q_pages_pagerank,
     }
@@ -906,6 +940,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, "
             "CAST(FLOOR(SUM(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6 "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_tumbling": (
+            "SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS w, "
+            "COUNT(*) AS n, "
+            "CAST(FLOOR(SUM(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6 "
+            "FROM events GROUP BY event_type, w ORDER BY event_type, w"
+        ),
+        "events_asof_prev": (
+            "SELECT event_id, COALESCE(LAG(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id "
+            "FROM events ORDER BY event_id"
         ),
         "events_sessions": (
             "SELECT user_id, SUM(CASE WHEN prev_ts IS NULL "
