@@ -106,7 +106,7 @@ def run_bench() -> dict:
         out_dir,
         P=32,
         vmap_partitions=64,
-        extract_concurrency=(1, max(2, NUM_CPUS - 2)),
+        extract_concurrency=(max(1, NUM_CPUS // 2), max(2, NUM_CPUS - 2)),
         extract_batch_size=256,
         write_text_table=True,
     )

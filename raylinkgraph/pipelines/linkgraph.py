@@ -47,6 +47,10 @@ def build_linkgraph_from_pages(
         pages, concurrency=extract_concurrency, batch_size=extract_batch_size
     )
     if write_text_table:
+        # two consumers (text sink + link pairs) would re-run the lazy
+        # extraction twice; pin the html-free output once. At extreme
+        # scale, write it to Parquet and re-read instead of materialize.
+        extracted = extracted.materialize()
         text_table(extracted).write_parquet(os.path.join(out_dir, "text_table"))
     pairs = link_pairs(extracted)
     vmap = build_vertex_map(pairs, vmap_partitions=vmap_partitions).materialize()
