@@ -147,7 +147,7 @@ def q_graph_bfs(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
 
     g = get_graph(sf_dir, "cp")
-    src = int(q_graph_edges(sf_dir)["src_id"].min())
+    src = int(g.edges_ds().min("src_id"))  # distributed scalar reduce
     res = run_bsp(g, BFS(src), workdir_for(sf_dir, "bfs"), max_rounds=10_000)
     df = res.state_pandas()[["oid", "dist"]]
     return df[df["dist"] != UNREACHED].reset_index(drop=True)
@@ -158,7 +158,13 @@ def q_graph_triangles(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
 
     g = get_graph(sf_dir, "pp")
-    return run_triangles(g, workdir_for(sf_dir, "tri"))
+    tri = run_triangles(g, workdir_for(sf_dir, "tri"))
+    return (
+        tri.select_columns(["oid", "tricnt"])
+        .to_pandas()  # final oracle export only
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
 
 
 def q_graph_kcore(sf_dir):
@@ -178,9 +184,7 @@ def q_graph_sssp(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
 
     g = get_graph(sf_dir, "ppw")
-    src = int(
-        g.edges_ds().to_pandas()["src_id"].min()
-    )
+    src = int(g.edges_ds().min("src_id"))  # distributed scalar reduce
     res = run_bsp(g, SSSP(src), workdir_for(sf_dir, "sssp"), max_rounds=10_000)
     df = res.state_pandas()[["oid", "dist"]]
     df = df[np.isfinite(df["dist"])]
@@ -215,29 +219,25 @@ def q_graph_lcc(sf_dir):
 
     g = get_graph(sf_dir, "pp")
     tri = run_triangles(g, workdir_for(sf_dir, "tri-lcc"))
-    lcc = lcc_from_triangles(g, tri)
-    return pd.DataFrame({"oid": lcc["oid"], "lcc_e6": _rank_e6(lcc["lcc"].to_numpy())})
+    lcc = lcc_from_triangles(tri).to_pandas().sort_values("oid")  # final export
+    return pd.DataFrame(
+        {"oid": lcc["oid"].to_numpy(np.int64), "lcc_e6": _rank_e6(lcc["lcc"].to_numpy())}
+    ).reset_index(drop=True)
 
 
 def q_graph_transitivity(sf_dir):
     """Global transitivity + average clustering (gs transitivity /
     avg_clustering, yaml:180-186) as a one-row table."""
-    from raylinkgraph.algos.triangles import lcc_from_triangles, run_triangles
-    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.algos.triangles import clustering_summary, run_triangles
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
 
     g = get_graph(sf_dir, "pp")
     tri = run_triangles(g, workdir_for(sf_dir, "tri-trans"))
-    degs = graph_ops.out_degrees(g).to_pandas()
-    m = tri.merge(degs, on="oid")
-    triads = float((m["out_deg"] * (m["out_deg"] - 1) / 2).sum())
-    closed = float(m["tricnt"].sum())  # = 3 * #triangles
-    transitivity = closed / triads if triads else 0.0
-    lcc = lcc_from_triangles(g, tri)
+    s = clustering_summary(tri)  # distributed scalar aggregates
     return pd.DataFrame(
         {
-            "transitivity_e6": _rank_e6(np.array([transitivity])),
-            "avg_clustering_e6": _rank_e6(np.array([lcc["lcc"].mean()])),
+            "transitivity_e6": _rank_e6(np.array([s["transitivity"]])),
+            "avg_clustering_e6": _rank_e6(np.array([s["avg_clustering"]])),
         }
     )
 
@@ -282,12 +282,16 @@ def q_rel_top_parts(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import get_graph
 
     g = get_graph(sf_dir, "cp")
-    ind = g.edges_ds().groupby("dst_id").count().to_pandas()
-    ind = ind.rename(columns={"count()": "n_customers"})
-    ind["n_customers"] = ind["n_customers"].astype(np.int64)
-    out = ind.sort_values(
-        ["n_customers", "dst_id"], ascending=[False, True]
-    ).head(20)
+    out = (
+        g.edges_ds()
+        .groupby("dst_id")
+        .count()
+        .sort(["count()", "dst_id"], descending=[True, False])
+        .limit(20)  # distributed sort + limit; only 20 rows reach the driver
+        .to_pandas()
+        .rename(columns={"count()": "n_customers"})
+    )
+    out["n_customers"] = out["n_customers"].astype(np.int64)
     return out[["dst_id", "n_customers"]].reset_index(drop=True)
 
 
@@ -295,7 +299,7 @@ HITS_ITER = 8
 
 
 def q_graph_hits(sf_dir):
-    from raylinkgraph.algos.hits import HITS, augment_edges
+    from raylinkgraph.algos.hits import HITS, augment_edges_ds
     from raylinkgraph.bsp import run_bsp
     from raylinkgraph.pipelines.tpch_graph import CACHE_ROOT, get_graph, workdir_for
     from raylinkgraph.stages.graph_build import LinkGraph
@@ -306,12 +310,11 @@ def q_graph_hits(sf_dir):
     if os.path.exists(os.path.join(aug_dir, "meta.json")):
         g = LinkGraph(aug_dir)
     else:
-        import ray.data as rd
-
-        aug = augment_edges(base.edges_ds().to_pandas())
+        # augmentation streams batch-by-batch into the build shuffle;
+        # no O(E) driver materialization
         g = LinkGraph.build(
-            rd.from_pandas(aug), aug_dir, P=base.P, symmetrize=False,
-            weight_col="flag", dedup_weight="sum",
+            augment_edges_ds(base.edges_ds()), aug_dir, P=base.P,
+            symmetrize=False, weight_col="flag", dedup_weight="sum",
         )
     algo = HITS(g.n_vertices, max_iter=HITS_ITER)
     res = run_bsp(g, algo, workdir_for(sf_dir, "hits"), max_rounds=2 * HITS_ITER)
@@ -897,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT dst_id, COUNT(*) AS in_deg FROM ({_EDGES}) "
             "GROUP BY dst_id ORDER BY dst_id"
         ),
+        # Fixed-round queries (pagerank/cdlp/katz/hits) unroll EXACTLY the
+        # round budget. Fixpoint queries unroll with >=3x margin over the
+        # engine's observed convergence on this graph family at the
+        # driver's sf (engine rounds at sf=0.01: wcc 4, bfs 3, kcore 4,
+        # sssp 4; the bipartite cp / co-order pp graphs get DENSER, hence
+        # shallower, as sf grows — margin grows with sf, not shrinks).
         "graph_pagerank": _pagerank_sql(PR_ROUNDS, ALPHA),
         "graph_wcc": _wcc_sql(30),
         "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),

@@ -152,7 +152,7 @@ def run_bench() -> dict:
     queries["cdlp"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    run_triangles(und, os.path.join(BENCH_ROOT, f"tri-{run_tag}"))
+    run_triangles(und, os.path.join(BENCH_ROOT, f"tri-{run_tag}")).count()
     queries["triangles"] = round(time.time() - t0, 3)
 
     # ---- training-data ops on the sf dir's own tables -------------------

@@ -29,20 +29,28 @@ import pyarrow as pa
 from raylinkgraph.bsp import Superstep
 
 
-def augment_edges(edges_df):
-    """(src,dst) pandas DataFrame -> direction-flagged augmented edges."""
-    import pandas as pd
+def augment_edges_ds(edges):
+    """(src_id, dst_id) Dataset -> direction-flagged augmented edge
+    Dataset: every edge (u,v) becomes (u,v,flag=1) and (v,u,flag=2),
+    emitted per Arrow batch (streams; nothing is collected on the driver).
+    Feed to LinkGraph.build(weight_col="flag", dedup_weight="sum")."""
+    import numpy as np
 
-    fwd = edges_df[["src_id", "dst_id"]].copy()
-    fwd["flag"] = 1.0
-    rev = pd.DataFrame(
-        {
-            "src_id": edges_df["dst_id"].to_numpy(),
-            "dst_id": edges_df["src_id"].to_numpy(),
-            "flag": 2.0,
-        }
-    )
-    return pd.concat([fwd, rev], ignore_index=True)
+    def aug(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        n = len(src)
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate([src, dst]), pa.int64()),
+                "dst_id": pa.array(np.concatenate([dst, src]), pa.int64()),
+                "flag": pa.array(
+                    np.concatenate([np.ones(n), np.full(n, 2.0)]), pa.float64()
+                ),
+            }
+        )
+
+    return edges.map_batches(aug, batch_format="pyarrow")
 
 
 class HITS(Superstep):

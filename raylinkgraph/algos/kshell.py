@@ -1,27 +1,124 @@
-"""k-shell / core-number decomposition by iterated k-core peeling.
+"""k-shell / core-number decomposition: ONE-PASS distributed peeling.
 
-Reference: kshell (.gs_conf.yaml:162). core(v) = the largest k such that
-v survives the k-core; computed by running the KCore superstep for
-k = 1, 2, ... until the core empties — each run is an independent,
-checkpointed BSP job, so the decomposition inherits resume for free.
-Oracle: networkx.core_number.
+Reference: kshell (.gs_conf.yaml:162), flash kcore/degeneracy/onion family
+(.gs_conf.yaml:335-366). core(v) = the largest k such that v survives the
+k-core. A single BSP job peels with an adaptive threshold k that travels
+in the scalar channel: each round removes every alive vertex whose
+residual degree is < k; when a round removes nothing and vertices remain,
+k increments (all partitions advance k deterministically from the same
+summed scalars, so no extra coordination round is needed). A vertex
+removed while the threshold is k gets core = k-1 — exactly the peeling
+order of the sequential algorithm, in rounds ~ O(peel depth + k_max)
+instead of the k_max independent jobs of the naive formulation.
+
+Oracle: networkx.core_number (tests/test_kshell.py) and the driver's
+unrolled H-index SQL (graph_corenum).
 """
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from raylinkgraph.algos.kcore import KCore
+from raylinkgraph.bsp import Superstep
 from raylinkgraph.stages.graph_build import LinkGraph
 
 
+class CoreDecompose(Superstep):
+    name = "corenum"
+    state_dtypes = {
+        "cur_deg": pa.int64(),
+        "core": pa.int64(),
+        "alive": pa.bool_(),
+        "just_removed": pa.bool_(),
+    }
+    scatter_columns = ["just_removed"]
+    msg_dtypes = {"dec": pa.int64()}
+    # k is a GLOBAL threshold shipped through the summed scalar channel:
+    # every partition emits k/P, so the driver-side sum reconstructs k
+    # exactly (P is a power of two -> dyadic floats are exact)
+    scalar_names = ["removed", "alive", "k"]
+
+    def __init__(self, P: int, max_rounds: int = 100_000):
+        self.P = int(P)
+        self.max_rounds = int(max_rounds)
+
+    def params(self) -> dict:
+        return {"P": self.P, "max_rounds": self.max_rounds}
+
+    def init(self, oids, out_deg):
+        removed = out_deg < 1  # isolated vertices: core 0
+        core = np.where(removed, 0, -1).astype(np.int64)
+        return (
+            {
+                "cur_deg": out_deg.astype(np.int64),
+                "core": core,
+                "alive": ~removed,
+                "just_removed": removed,
+            },
+            {
+                "removed": float(removed.sum()),
+                "alive": float((~removed).sum()),
+                "k": 1.0 / self.P,
+            },
+        )
+
+    def scatter(self, state, block, scalars):
+        if len(block["udst_pos"]) == 0:
+            return
+        rem = state["just_removed"][block["src_pos"]].astype(np.int64)
+        per_edge = rem[block["src_code"]]
+        decs = np.bincount(
+            block["dst_code"], weights=per_edge, minlength=len(block["udst_pos"])
+        ).astype(np.int64)
+        live = decs > 0
+        if not live.any():
+            return
+        tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
+            if lo >= hi:
+                continue
+            m = live[lo:hi]
+            if m.any():
+                yield q, pos[lo:hi][m], {"dec": decs[lo:hi][m]}
+
+    def apply(self, oids, out_deg, state, msgs, scalars):
+        k = int(round(scalars["k"]))
+        # the previous round removed nothing but vertices remain: the
+        # (k)-core is stable, advance the peeling threshold
+        if scalars["removed"] == 0.0 and scalars["alive"] > 0.0:
+            k += 1
+        cur = state["cur_deg"].copy()
+        alive = state["alive"].copy()
+        core = state["core"].copy()
+        if len(msgs["pos"]):
+            cur -= np.bincount(
+                msgs["pos"], weights=msgs["dec"], minlength=len(oids)
+            ).astype(np.int64)
+        just_removed = alive & (cur < k)
+        core[just_removed] = k - 1
+        alive = alive & ~just_removed
+        return (
+            {"cur_deg": cur, "core": core, "alive": alive, "just_removed": just_removed},
+            {
+                "removed": float(just_removed.sum()),
+                "alive": float(alive.sum()),
+                "k": k / self.P,
+            },
+        )
+
+    def converged(self, scalars, completed_rounds):
+        if completed_rounds >= self.max_rounds:
+            return True
+        return completed_rounds >= 1 and scalars["alive"] == 0.0
+
+
 def run_core_number(
-    graph: LinkGraph, workdir: str, *, engine: str = "dataset", max_k: int = 10_000
+    graph: LinkGraph, workdir: str, *, engine: str = "dataset", max_rounds: int = 100_000
 ) -> pd.DataFrame:
-    """-> (oid, core) for every vertex of a symmetrized graph."""
+    """-> (oid, core) for EVERY vertex of a symmetrized graph (one BSP job)."""
     if not graph.meta.get("symmetrize"):
         raise ValueError("core decomposition requires a symmetrized graph")
     if engine == "actors":
@@ -29,20 +126,13 @@ def run_core_number(
     else:
         from raylinkgraph.bsp import run_bsp as runner
 
-    core: dict[int, int] = {}
-    alive_prev: pd.DataFrame | None = None
-    k = 1
-    while k <= max_k:
-        res = runner(graph, KCore(k), os.path.join(workdir, f"k={k}"), max_rounds=10_000)
-        df = res.state_pandas()[["oid", "alive"]]
-        # vertices dropped between (k-1)-core and k-core have core = k-1
-        dead = df.loc[~df["alive"], "oid"].to_numpy(np.int64)
-        for o in dead:
-            core.setdefault(int(o), k - 1)
-        if not df["alive"].any():
-            break
-        k += 1
-    out = pd.DataFrame(
-        {"oid": list(core.keys()), "core": list(core.values())}
-    ).astype({"oid": np.int64, "core": np.int64})
-    return out.sort_values("oid").reset_index(drop=True)
+    res = runner(
+        graph, CoreDecompose(graph.P), workdir, max_rounds=max_rounds
+    )
+    if not res.converged or res.scalars["alive"] > 0:
+        raise RuntimeError(
+            f"core decomposition did not finish: {res.scalars['alive']:.0f} "
+            f"vertices still alive after {res.rounds} rounds"
+        )
+    df = res.state_pandas()[["oid", "core"]]
+    return df.reset_index(drop=True)

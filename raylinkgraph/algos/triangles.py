@@ -47,8 +47,10 @@ def _vertexstate(graph_dir: str, pid: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def run_triangles(graph: LinkGraph, workdir: str) -> pd.DataFrame:
-    """-> (oid, tricnt) for every vertex, sorted by oid."""
+def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
+    """-> Dataset of (oid, tricnt, deg) for every vertex (deg = undirected
+    degree, carried so LCC / transitivity stay distributed joins on the
+    home partition — nothing O(V) touches the driver)."""
     if not graph.meta.get("symmetrize"):
         raise ValueError("triangles requires a symmetrized graph")
     P = graph.P
@@ -202,12 +204,12 @@ def run_triangles(graph: LinkGraph, workdir: str) -> pd.DataFrame:
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g["pid"].iloc[0])
         g = g[g["v"] >= 0]  # drop marker rows
-        oids, _ = _vertexstate(graph_dir, pid)
+        oids, deg = _vertexstate(graph_dir, pid)
         agg = g.groupby("v")["cnt"].sum()
         out = np.zeros(len(oids), np.int64)
         pos = np.searchsorted(oids, agg.index.to_numpy(np.int64))
         out[pos] = agg.to_numpy(np.int64)
-        return pd.DataFrame({"oid": oids, "tricnt": out})
+        return pd.DataFrame({"oid": oids, "tricnt": out, "deg": deg})
 
     # markers so every partition emits its (possibly all-zero) vertices
     markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
@@ -230,20 +232,48 @@ def run_triangles(graph: LinkGraph, workdir: str) -> pd.DataFrame:
         .groupby("pid")
         .map_groups(finalize, batch_format="pandas")
     )
-    return result.to_pandas().sort_values("oid").reset_index(drop=True)
+    return result
 
 
-def lcc_from_triangles(graph: LinkGraph, tri: pd.DataFrame) -> pd.DataFrame:
+def lcc_from_triangles(tri: rd.Dataset) -> rd.Dataset:
     """Local clustering coefficient: lcc = 2*tri / (deg*(deg-1)), deg = the
-    undirected degree (reference grape::LCC semantics, SURVEY.md §2.2)."""
-    parts = []
-    for pid in range(graph.P):
-        oids, deg = _vertexstate(graph.graph_dir, pid)
-        parts.append(pd.DataFrame({"oid": oids, "deg": deg}))
-    degs = pd.concat(parts).sort_values("oid").reset_index(drop=True)
-    out = tri.merge(degs, on="oid")
-    d = out["deg"].to_numpy(np.float64)
-    t = out["tricnt"].to_numpy(np.float64)
-    denom = d * (d - 1)
-    out["lcc"] = np.divide(2 * t, denom, out=np.zeros(len(out)), where=denom > 0)
-    return out[["oid", "lcc"]]
+    undirected degree (reference grape::LCC semantics, SURVEY.md §2.2).
+    Pure per-batch column math over run_triangles output — no shuffle."""
+
+    def lcc_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["deg"].to_numpy(np.float64)
+        t = batch["tricnt"].to_numpy(np.float64)
+        denom = d * (d - 1)
+        lcc = np.divide(2 * t, denom, out=np.zeros(len(batch)), where=denom > 0)
+        return pd.DataFrame({"oid": batch["oid"].to_numpy(np.int64), "lcc": lcc})
+
+    return tri.map_batches(lcc_batch, batch_format="pandas")
+
+
+def clustering_summary(tri: rd.Dataset) -> dict:
+    """Global transitivity + average clustering from run_triangles output:
+    three scalar aggregates (pre-combined per batch); only 1 row per batch
+    reaches the reduce."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["deg"].to_numpy(np.float64)
+        t = batch["tricnt"].to_numpy(np.float64)
+        denom = d * (d - 1)
+        lcc = np.divide(2 * t, denom, out=np.zeros(len(batch)), where=denom > 0)
+        return pd.DataFrame(
+            {
+                "closed": [t.sum()],           # = 3 * #triangles per vertex sum
+                "triads": [(denom / 2).sum()],
+                "lcc_sum": [lcc.sum()],
+                "n": [float(len(batch))],
+            }
+        )
+
+    agg = tri.map_batches(partial, batch_format="pandas").sum(
+        ["closed", "triads", "lcc_sum", "n"]
+    )
+    closed, triads = agg["sum(closed)"], agg["sum(triads)"]
+    return {
+        "transitivity": (closed / triads) if triads else 0.0,
+        "avg_clustering": (agg["sum(lcc_sum)"] / agg["sum(n)"]) if agg["sum(n)"] else 0.0,
+    }

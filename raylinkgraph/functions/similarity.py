@@ -71,11 +71,18 @@ def knn_cosine(
             out_q, out_n, out_s = [], [], []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                # local top-(k+1) (self might be in-batch); ties -> id asc
-                idx = np.argpartition(-row, kk - 1)[:kk]
+                # local top-(k+1) (self might be in-batch). argpartition
+                # alone is tie-arbitrary at the cutoff, so order the
+                # over-selected slice by the SAME total order as the global
+                # top-k -- (sim desc, neighbor_id asc) -- before truncating;
+                # results are then batch-layout / parallelism independent.
+                part = np.argpartition(-row, kk - 1)[:kk]
+                thresh = row[part].min()
+                cand = np.flatnonzero(row >= thresh)  # every cutoff tie
+                cand = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
                 out_q.append(np.full(kk, self.qids[qi]))
-                out_n.append(ids[idx])
-                out_s.append(row[idx])
+                out_n.append(ids[cand])
+                out_s.append(row[cand])
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q), pa.int64()),

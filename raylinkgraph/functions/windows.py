@@ -30,7 +30,12 @@ def tumbling_counts(
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w = (batch[ts_col].astype("int64") // (window_sec * 1_000_000)).astype(np.int64)
+        # unit-independent window id (datetime64 columns arrive as [us]
+        # from parquet but [ns] from pandas sources; int64 division would
+        # silently be ~1000x off for one of them)
+        w = (
+            (batch[ts_col] - pd.Timestamp(0)) // pd.Timedelta(seconds=window_sec)
+        ).astype(np.int64)
         g = batch.assign(w=w).groupby([type_col, "w"], sort=True)
         out = g.agg(n=(value_col, "size"), sv=(value_col, "sum")).reset_index()
         return out

@@ -10,9 +10,8 @@ oracle is plain SQL over the same parquet views:
 - PP (undirected): part -- part, an edge when two parts co-occur in one
   order (this one has triangles). u < v canonical direction.
 
-The orders side is broadcast (one ray.put of the o_orderkey->o_custkey
-arrays) because it is the small side of the join; at 10^12 scale this
-would become the partitioned bucket join of stages/vertex_map.py.
+The orders-lineitem join is a partitioned bucket join (one shuffle on
+hash(orderkey)); nothing is collected on the driver or broadcast.
 
 Built graphs are cached under a content-keyed directory so repeated
 queries()/bench calls reuse the artifacts.
@@ -27,7 +26,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 
 from raylinkgraph.functions.hashing import partition_of
@@ -37,35 +35,61 @@ PART_OFFSET = 10_000_000
 CACHE_ROOT = "/tmp/raylinkgraph_cache"
 
 
-def cp_edges(sf_dir: str) -> rd.Dataset:
-    """customer -> part edge pairs (with duplicates; build() dedups)."""
-    orders = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-        .to_pandas()
-        .sort_values("o_orderkey")
-    )
-    okeys = orders["o_orderkey"].to_numpy(np.int64)
-    ocust = orders["o_custkey"].to_numpy(np.int64)
-    ref = ray.put((okeys, ocust))
+def cp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
+    """customer -> part edge pairs (with duplicates; build() dedups).
 
-    class Join:
-        def __init__(self):
-            self.okeys, self.ocust = ray.get(ref)
+    Partitioned bucket join on hash(orderkey) % buckets: both sides are
+    tagged and shuffled ONCE; each group resolves lineitem rows against
+    its own slice of orders with a searchsorted. Neither side is ever
+    collected on the driver or broadcast, so the join holds when orders
+    is itself web-scale (the reference's analogue is the hash-partitioned
+    fragment loader, core/loader/arrow_fragment_loader.h:199-252)."""
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.okeys, lo)
-            return pa.table(
-                {
-                    "src_id": pa.array(self.ocust[pos], pa.int64()),
-                    "dst_id": pa.array(lp + PART_OFFSET, pa.int64()),
-                }
-            )
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "val": batch.column("o_custkey"),
+                "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+                "bucket": pa.array(partition_of(ok, buckets), pa.int32()),
+            }
+        )
 
-    return rd.read_parquet(
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(lo, pa.int64()),
+                "val": batch.column("l_partkey"),
+                "side": pa.array(np.ones(len(lo), np.int8), pa.int8()),
+                "bucket": pa.array(partition_of(lo, buckets), pa.int32()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    ).map_batches(Join, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0].sort_values("k")
+        li = g[g["side"] == 1]
+        okeys = o["k"].to_numpy(np.int64)
+        ocust = o["val"].to_numpy(np.int64)
+        pos = np.searchsorted(okeys, li["k"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "src_id": ocust[pos],
+                "dst_id": li["val"].to_numpy(np.int64) + PART_OFFSET,
+            }
+        )
+
+    return orders.union(items).groupby("bucket").map_groups(
+        join_group, batch_format="pandas"
+    )
 
 
 def pp_weighted_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
@@ -149,12 +173,29 @@ def pp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
 _MEMO: dict[tuple[str, str], LinkGraph] = {}
 
 
+def _content_sig(sf_dir: str) -> str:
+    """Cheap content signature of the input tables (sizes + mtimes): folds
+    into every cache tag so regenerated testdata at the same path never
+    silently reuses stale graph artifacts."""
+    parts = []
+    for name in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+
+
 def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
     """Cached build of the CP / CP-undirected / PP graphs for ``sf_dir``."""
     key = (os.path.abspath(sf_dir), kind)
     if key in _MEMO:
         return _MEMO[key]
-    tag = hashlib.md5(f"{key[0]}|{kind}|P{P}|v3".encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{key[0]}|{kind}|P{P}|v4|{_content_sig(sf_dir)}".encode()
+    ).hexdigest()[:12]
     gdir = os.path.join(CACHE_ROOT, f"{kind}-{tag}")
     if os.path.exists(os.path.join(gdir, "meta.json")):
         g = LinkGraph(gdir)

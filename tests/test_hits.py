@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import ray.data as rd
 
-from raylinkgraph.algos.hits import HITS, augment_edges, hits_oracle
+from raylinkgraph.algos.hits import HITS, augment_edges_ds, hits_oracle
 from raylinkgraph.bsp import run_bsp
 from raylinkgraph.bsp_actors import run_bsp_actors
 from raylinkgraph.oracle.reference import random_edges
@@ -16,9 +16,9 @@ from raylinkgraph.stages.graph_build import LinkGraph
 @pytest.fixture(scope="module")
 def setup(ray_session, tmp_root):
     edges = random_edges(250, 2000, seed=13)
-    aug = augment_edges(edges)
+    aug = augment_edges_ds(rd.from_pandas(edges))
     g = LinkGraph.build(
-        rd.from_pandas(aug), os.path.join(tmp_root, "g-hits"), P=4,
+        aug, os.path.join(tmp_root, "g-hits"), P=4,
         symmetrize=False, weight_col="flag", dedup_weight="sum",
     )
     return g, edges

@@ -25,7 +25,10 @@ def setup(ray_session, tmp_root):
 
 def test_triangles_exact(setup, tmp_root):
     g, edges = setup
-    got = run_triangles(g, os.path.join(tmp_root, "tri-work"))
+    got = (
+        run_triangles(g, os.path.join(tmp_root, "tri-work"))
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    )
     want = triangles_oracle(edges)
     assert np.array_equal(got["oid"].to_numpy(), want["oid"].to_numpy())
     assert np.array_equal(got["tricnt"].to_numpy(), want["tricnt"].to_numpy())
@@ -37,7 +40,10 @@ def test_lcc_matches_networkx(setup, tmp_root):
 
     g, edges = setup
     tri = run_triangles(g, os.path.join(tmp_root, "tri-work2"))
-    got = lcc_from_triangles(g, tri)
+    got = (
+        lcc_from_triangles(tri)
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    )
     G = nx.Graph()
     G.add_edges_from(edges[["src_id", "dst_id"]].itertuples(index=False, name=None))
     cc = nx.clustering(G)
