@@ -255,6 +255,72 @@ def q_graph_assortativity(sf_dir):
     return pd.DataFrame({"assortativity_e6": _rank_e6(np.array([r]))})
 
 
+CLOSENESS_SRC = 64
+BC_SRC = 8
+
+
+def q_graph_closeness(sf_dir):
+    """Sampled-source closeness (sources = the 64 smallest vertex ids)
+    on the undirected pp graph via one bitmask multi-source BFS wave.
+    closeness = reached / sum_dist over the sampled sources (self pair
+    d=0 counts in reached, adds nothing to the sum — mirrors the SQL)."""
+    from raylinkgraph.algos.centrality import run_closeness, smallest_oids
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    srcs = smallest_oids(g, CLOSENESS_SRC)
+    df = run_closeness(g, workdir_for(sf_dir, "msbfs"), sources=srcs)
+    df = df[df["sum_d"] > 0]
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "reached": df["reached"].to_numpy(np.int64),
+            "closeness_e6": _rank_e6(
+                df["reached"].to_numpy(np.float64) / df["sum_d"].to_numpy(np.float64)
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def q_graph_harmonic(sf_dir):
+    """Sampled-source harmonic centrality from the SAME MSBFS wave as
+    closeness (the second query resumes the converged checkpoint)."""
+    from raylinkgraph.algos.centrality import run_closeness, smallest_oids
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    srcs = smallest_oids(g, CLOSENESS_SRC)
+    df = run_closeness(g, workdir_for(sf_dir, "msbfs"), sources=srcs)
+    df = df[df["reached"] > 0]
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "harmonic_e6": _rank_e6(df["sum_inv"].to_numpy(np.float64)),
+        }
+    ).reset_index(drop=True)
+
+
+def q_graph_betweenness(sf_dir):
+    """Sampled-source Brandes betweenness (8 smallest ids as sources) on
+    the pp graph: one multi-source forward + one backward BSP job.
+    e5 scaling: unlike the integer-ratio closeness, delta sums accumulate
+    float error across orders, so e6 would sit too close to rounding
+    boundaries."""
+    from raylinkgraph.algos.brandes import run_betweenness
+    from raylinkgraph.algos.centrality import smallest_oids
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    srcs = smallest_oids(g, BC_SRC)
+    bc = run_betweenness(g, workdir_for(sf_dir, "bc"), srcs)
+    return pd.DataFrame(
+        {
+            "oid": bc["oid"].to_numpy(np.int64),
+            "bc_e5": np.floor(bc["bc"].to_numpy() * 1e5 + 0.5).astype(np.int64),
+        }
+    ).sort_values("oid").reset_index(drop=True)
+
+
 def q_rel_orders_by_status(sf_dir):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -527,6 +593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_transitivity": q_graph_transitivity,
         "graph_assortativity": q_graph_assortativity,
         "graph_hits": q_graph_hits,
+        "graph_closeness": q_graph_closeness,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
@@ -822,6 +891,107 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _msbfs_ctes(rounds: int, n_src: int) -> list[str]:
+    """(source, vertex, dist) pairs by unrolled multi-source BFS on the
+    undirected pp graph; sources = the n_src smallest vertex ids."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        "uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+        "UNION SELECT v, u FROM pedges)",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        f"srcs AS MATERIALIZED (SELECT v AS s FROM mverts ORDER BY v LIMIT {n_src})",
+        "p0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist FROM srcs)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"pm{i} AS MATERIALIZED (SELECT p.s, e.d AS v, MIN(p.dist) + 1 AS nd "
+            f"FROM p{i} p JOIN uedges e ON e.s = p.v GROUP BY p.s, e.d)"
+        )
+        ctes.append(
+            f"p{i+1} AS MATERIALIZED (SELECT s, v, MIN(dist) AS dist FROM ("
+            f"SELECT s, v, dist FROM p{i} UNION ALL "
+            f"SELECT s, v, nd FROM pm{i}) GROUP BY s, v)"
+        )
+    return ctes
+
+
+def _closeness_sql(rounds: int, n_src: int) -> str:
+    ctes = _msbfs_ctes(rounds, n_src)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS oid, COUNT(*) AS reached,
+  CAST(FLOOR(COUNT(*)::DOUBLE / SUM(dist) * 1e6 + 0.5) AS BIGINT) AS closeness_e6
+FROM p{rounds} GROUP BY v HAVING SUM(dist) > 0 ORDER BY oid
+"""
+    )
+
+
+def _harmonic_sql(rounds: int, n_src: int) -> str:
+    ctes = _msbfs_ctes(rounds, n_src)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS oid,
+  CAST(FLOOR(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0 / dist END), 0) * 1e6 + 0.5)
+       AS BIGINT) AS harmonic_e6
+FROM p{rounds} GROUP BY v ORDER BY oid
+"""
+    )
+
+
+def _betweenness_sql(levels: int, n_src: int) -> str:
+    """Unrolled Brandes: per-level sigma forward, per-level delta backward
+    (level count bounded by ``levels``, a margin over the BFS depth)."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        "uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+        "UNION SELECT v, u FROM pedges)",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        f"srcs AS MATERIALIZED (SELECT v AS s FROM mverts ORDER BY v LIMIT {n_src})",
+        "lev0 AS MATERIALIZED (SELECT s, s AS v, 1.0 AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, v, 0 AS dist, sigma FROM lev0)",
+    ]
+    for i in range(levels):
+        ctes.append(
+            f"lev{i+1} AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM ("
+            f"SELECT l.s, e.d AS v, SUM(l.sigma) AS sigma FROM lev{i} l "
+            f"JOIN uedges e ON e.s = l.v GROUP BY l.s, e.d) c "
+            f"LEFT JOIN vis{i} w ON w.s = c.s AND w.v = c.v WHERE w.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{i+1} AS MATERIALIZED (SELECT * FROM vis{i} UNION ALL "
+            f"SELECT s, v, {i+1}, sigma FROM lev{i+1})"
+        )
+    V = f"vis{levels}"
+    ctes.append(
+        f"dl{levels} AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM {V} "
+        f"WHERE dist = {levels})"
+    )
+    for lev in range(levels - 1, -1, -1):
+        ctes.append(
+            f"dl{lev} AS MATERIALIZED (SELECT a.s, a.v, "
+            f"a.sigma * COALESCE(SUM((1.0 + d.delta) / b.sigma), 0) AS delta "
+            f"FROM {V} a LEFT JOIN uedges e ON e.s = a.v "
+            f"LEFT JOIN {V} b ON b.s = a.s AND b.v = e.d AND b.dist = a.dist + 1 "
+            f"LEFT JOIN dl{lev+1} d ON d.s = b.s AND d.v = b.v "
+            f"WHERE a.dist = {lev} GROUP BY a.s, a.v, a.sigma)"
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT * FROM dl{lev}" for lev in range(1, levels + 1)
+    )
+    ctes.append(f"alld AS MATERIALIZED ({alld})")
+    ctes.append("bcsum AS MATERIALIZED (SELECT v, SUM(delta) AS bc FROM alld GROUP BY v)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT mverts.v AS oid,
+  CAST(FLOOR(COALESCE(bcsum.bc, 0) * 1e5 + 0.5) AS BIGINT) AS bc_e5
+FROM mverts LEFT JOIN bcsum ON bcsum.v = mverts.v ORDER BY oid
+"""
+    )
+
+
 def _triangles_sql() -> str:
     return f"""
 WITH pedges AS MATERIALIZED ({_PP_EDGES}),
@@ -915,6 +1085,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_sql(15),
         "graph_katz": _katz_sql(8, 0.05, 1.0),
         "graph_hits": _hits_sql(HITS_ITER),
+        # MSBFS depth at sf=0.01 is 3; 8 levels is >2x margin (the pp
+        # co-order graph gets denser/shallower as sf grows)
+        "graph_closeness": _closeness_sql(8, CLOSENESS_SRC),
+        "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
+        "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -169,8 +169,11 @@ def run_bsp(
     while not converged and rounds_done < max_rounds:
         rt0 = time.time()
         cur, nxt = rounds_done, rounds_done + 1
-        scatter_fn = _make_scatter(algo, workdir, cur, dict(scalars))
-        apply_fn = _make_apply(algo, graph_dir, workdir, cur, nxt, dict(scalars), scalar_names)
+        # ``_round`` = completed rounds so far: level-indexed algorithms
+        # (MSBFS, Brandes) read it instead of shipping a counter scalar
+        rscal = {**scalars, "_round": float(cur)}
+        scatter_fn = _make_scatter(algo, workdir, cur, rscal)
+        apply_fn = _make_apply(algo, graph_dir, workdir, cur, nxt, rscal, scalar_names)
         markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
             _make_markers(msg_schema), batch_format="pyarrow"
         )

@@ -251,10 +251,11 @@ def run_bsp_actors(
         rt0 = time.time()
         nxt = rounds_done + 1
         do_ckpt = (nxt % checkpoint_every == 0) or nxt >= max_rounds
-        scatter_refs = [w.scatter.remote(dict(scalars)) for w in workers]
+        rscal = {**scalars, "_round": float(rounds_done)}
+        scatter_refs = [w.scatter.remote(rscal) for w in workers]
         partials = ray.get(
             [
-                w.apply.remote(dict(scalars), workdir, nxt, do_ckpt, *scatter_refs)
+                w.apply.remote(rscal, workdir, nxt, do_ckpt, *scatter_refs)
                 for w in workers
             ]
         )
