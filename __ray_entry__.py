@@ -321,6 +321,18 @@ def q_graph_betweenness(sf_dir):
     ).sort_values("oid").reset_index(drop=True)
 
 
+def q_graph_scc(sf_dir):
+    """Strongly connected components on the cyclic customer<->part graph
+    (customer->part when ordered, part->customer when returned);
+    scc id = min member id."""
+    from raylinkgraph.algos.scc import run_scc
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cpr_flag")
+    df = run_scc(g, workdir_for(sf_dir, "scc"))
+    return df.sort_values("oid").reset_index(drop=True)
+
+
 def q_rel_orders_by_status(sf_dir):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -596,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closeness": q_graph_closeness,
         "graph_harmonic": q_graph_harmonic,
         "graph_betweenness": q_graph_betweenness,
+        "graph_scc": q_graph_scc,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
@@ -891,6 +904,63 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+_CPR_EDGES = (
+    "SELECT DISTINCT o_custkey AS s, 10000000 + l_partkey AS d "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "UNION SELECT DISTINCT 10000000 + l_partkey, o_custkey "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_returnflag = 'R'"
+)
+
+
+def _scc_sql(phases: int, rounds: int) -> str:
+    """Unrolled min-label forward-backward settling (the transitive-
+    closure formulation is O(V^2) rows — this one is O(V) rows per CTE).
+    Per phase, over unsettled vertices only: f(v) = min unsettled id
+    reachable FROM v, b(v) = min unsettled id REACHING v, both to
+    (unrolled) fixpoint; vertices with f = b settle with scc = f.
+    ``rounds``/``phases`` carry >=2x margin over the engine's observed
+    fixpoints (6 rounds, 2 phases at sf=0.01)."""
+    ctes = [
+        f"dedges AS MATERIALIZED ({_CPR_EDGES})",
+        "dverts AS MATERIALIZED (SELECT DISTINCT x AS v FROM "
+        "(SELECT s AS x FROM dedges UNION ALL SELECT d FROM dedges))",
+        "st0 AS MATERIALIZED (SELECT v, CAST(NULL AS BIGINT) AS scc FROM dverts)",
+    ]
+    for p in range(phases):
+        # labels: NULL for settled vertices (they neither send nor receive)
+        ctes.append(
+            f"f{p}_0 AS MATERIALIZED (SELECT v, "
+            f"CASE WHEN scc IS NULL THEN v END AS lab FROM st{p})"
+        )
+        ctes.append(f"b{p}_0 AS MATERIALIZED (SELECT v, lab FROM f{p}_0)")
+        for k in range(rounds):
+            ctes.append(
+                f"f{p}_{k+1} AS MATERIALIZED (SELECT f.v, CASE WHEN f.lab IS NULL "
+                f"THEN NULL ELSE LEAST(f.lab, COALESCE(m.mn, f.lab)) END AS lab "
+                f"FROM f{p}_{k} f LEFT JOIN (SELECT e.s AS v, MIN(f2.lab) AS mn "
+                f"FROM dedges e JOIN f{p}_{k} f2 ON f2.v = e.d "
+                f"WHERE f2.lab IS NOT NULL GROUP BY e.s) m ON m.v = f.v)"
+            )
+            ctes.append(
+                f"b{p}_{k+1} AS MATERIALIZED (SELECT b.v, CASE WHEN b.lab IS NULL "
+                f"THEN NULL ELSE LEAST(b.lab, COALESCE(m.mn, b.lab)) END AS lab "
+                f"FROM b{p}_{k} b LEFT JOIN (SELECT e.d AS v, MIN(b2.lab) AS mn "
+                f"FROM dedges e JOIN b{p}_{k} b2 ON b2.v = e.s "
+                f"WHERE b2.lab IS NOT NULL GROUP BY e.d) m ON m.v = b.v)"
+            )
+        ctes.append(
+            f"st{p+1} AS MATERIALIZED (SELECT s.v, CASE WHEN s.scc IS NOT NULL "
+            f"THEN s.scc WHEN f.lab = b.lab THEN f.lab END AS scc "
+            f"FROM st{p} s JOIN f{p}_{rounds} f ON f.v = s.v "
+            f"JOIN b{p}_{rounds} b ON b.v = s.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, scc FROM st{phases} ORDER BY oid"
+    )
+
+
 def _msbfs_ctes(rounds: int, n_src: int) -> list[str]:
     """(source, vertex, dist) pairs by unrolled multi-source BFS on the
     undirected pp graph; sources = the n_src smallest vertex ids."""
@@ -1090,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_sql(8, CLOSENESS_SRC),
         "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
+        "graph_scc": _scc_sql(4, 12),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -92,6 +92,67 @@ def cp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     )
 
 
+def cpr_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
+    """Directed cyclic graph for SCC: customer -> part for every ordered
+    part, PLUS part -> customer for RETURNED lines (l_returnflag = 'R').
+    Same bucket join as cp_edges; returned lines emit the reverse pair."""
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(ok)
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "val": batch.column("o_custkey"),
+                "ret": pa.array(np.zeros(n, np.bool_), pa.bool_()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "bucket": pa.array(partition_of(ok, buckets), pa.int32()),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ret = np.asarray(batch.column("l_returnflag").to_pylist()) == "R"
+        n = len(lo)
+        return pa.table(
+            {
+                "k": pa.array(lo, pa.int64()),
+                "val": batch.column("l_partkey"),
+                "ret": pa.array(ret, pa.bool_()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "bucket": pa.array(partition_of(lo, buckets), pa.int32()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_returnflag"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0].sort_values("k")
+        li = g[g["side"] == 1]
+        okeys = o["k"].to_numpy(np.int64)
+        ocust = o["val"].to_numpy(np.int64)
+        pos = np.searchsorted(okeys, li["k"].to_numpy(np.int64))
+        cust = ocust[pos]
+        partv = li["val"].to_numpy(np.int64) + PART_OFFSET
+        ret = li["ret"].to_numpy(np.bool_)
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate([cust, partv[ret]]),
+                "dst_id": np.concatenate([partv, cust[ret]]),
+            }
+        )
+
+    return orders.union(items).groupby("bucket").map_groups(
+        join_group, batch_format="pandas"
+    )
+
+
 def pp_weighted_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     """(u, v, weight) part co-order pairs, weight = number of orders the
     pair co-occurs in (aggregated via one pair-keyed groupby shuffle)."""
@@ -210,6 +271,13 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
             g = LinkGraph.build(
                 pp_weighted_edges(sf_dir), gdir, P=P, symmetrize=True,
                 weight_col="weight",
+            )
+        elif kind == "cpr_flag":
+            from raylinkgraph.algos.hits import augment_edges_ds
+
+            g = LinkGraph.build(
+                augment_edges_ds(cpr_edges(sf_dir)), gdir, P=P,
+                symmetrize=False, weight_col="flag", dedup_weight="or",
             )
         else:
             raise ValueError(kind)

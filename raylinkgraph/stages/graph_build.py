@@ -160,11 +160,16 @@ class LinkGraph:
         def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
             pid = int(g["pid"].iloc[0])
             if weight_col:
-                # deterministic duplicate rule: MIN (shortest-path style)
-                # or SUM (multiplicities / direction-flag OR-ing)
+                # deterministic duplicate rule: MIN (shortest-path style),
+                # SUM (multiplicities), or OR (direction-flag bitmasks)
+                rule = (
+                    (lambda s: float(np.bitwise_or.reduce(s.to_numpy(np.int64))))
+                    if dedup_weight == "or"
+                    else dedup_weight
+                )
                 g = (
                     g.groupby(["src_id", "dst_id"], sort=False, as_index=False)
-                    .agg(weight=("weight", dedup_weight), pid=("pid", "first"))
+                    .agg(weight=("weight", rule), pid=("pid", "first"))
                 )
             else:
                 g = g.drop_duplicates(["src_id", "dst_id"])
