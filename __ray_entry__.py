@@ -194,6 +194,97 @@ def q_graph_sssp(sf_dir):
     ).reset_index(drop=True)
 
 
+def _ssspp_result(sf_dir):
+    from raylinkgraph.algos.sssp import SSSPParents
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "ppw")
+    src = int(g.edges_ds().min("src_id"))
+    res = run_bsp(
+        g, SSSPParents(src), workdir_for(sf_dir, "ssspp"), max_rounds=10_000
+    )
+    return g, src, res
+
+
+def q_graph_sssp_path(sf_dir):
+    """sssp_path (yaml:103): the shortest path from the min-id source to
+    the LARGEST reached vertex id, reconstructed from deterministic
+    (min-id tie-break) parent pointers -> (seq, oid, dist) rows."""
+    from raylinkgraph.algos.sssp import walk_parents
+
+    g, src, res = _ssspp_result(sf_dir)
+
+    def finite(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[np.isfinite(b["dist"]), ["oid"]]
+
+    target = int(res.state_ds().map_batches(finite, batch_format="pandas").max("oid"))
+    path = walk_parents(res.workdir, res.final_step, g.P, target)
+    return pd.DataFrame(
+        {
+            "seq": np.arange(len(path), dtype=np.int64),
+            "oid": np.array([p[0] for p in path], np.int64),
+            "dist": np.array([p[1] for p in path]).astype(np.int64),
+        }
+    )
+
+
+def q_graph_sssp_stats(sf_dir):
+    """sssp_has_path + sssp_average_length (yaml:111,117) as one row:
+    reached count, mean shortest distance (e6), and whether the max
+    vertex id is reachable from the min-id source."""
+    import pyarrow.parquet as pq
+
+    g, src, res = _ssspp_result(sf_dir)
+    maxv = -1
+    for pid in range(g.P):  # vertexstate files are oid-sorted: tail = max
+        t = pq.read_table(g.vertexstate_path(pid), columns=["oid"])
+        if t.num_rows:
+            maxv = max(maxv, int(t.column("oid")[t.num_rows - 1].as_py()))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        fin = np.isfinite(b["dist"].to_numpy())
+        return pd.DataFrame(
+            {
+                "n": [np.int64(fin.sum())],
+                "s": [b["dist"].to_numpy()[fin].sum()],
+                "maxhit": [np.int64((fin & (b["oid"].to_numpy() == maxv)).sum())],
+            }
+        )
+
+    agg = res.state_ds().map_batches(partial, batch_format="pandas").sum(
+        ["n", "s", "maxhit"]
+    )
+    n, s = agg["sum(n)"], agg["sum(s)"]
+    return pd.DataFrame(
+        {
+            "n_reached": np.array([n], np.int64),
+            "avg_dist_e6": _rank_e6(np.array([s / n if n else 0.0])),
+            "has_path_to_max": np.array([agg["sum(maxhit)"]], np.int64),
+        }
+    )
+
+
+BFS_DEPTH = 3
+
+
+def q_graph_bfs_limited(sf_dir):
+    """bfs_generic with depth_limit (run_app.cc:63-66): round r settles
+    exactly distance r, so capping rounds = bounding the depth."""
+    from raylinkgraph.algos.bfs import BFS, UNREACHED
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    src = int(g.edges_ds().min("src_id"))
+    res = run_bsp(
+        g, BFS(src, depth_limit=BFS_DEPTH), workdir_for(sf_dir, "bfslim"),
+        max_rounds=10_000,
+    )
+    df = res.state_pandas()[["oid", "dist"]]
+    return df[df["dist"] != UNREACHED].reset_index(drop=True)
+
+
 def q_graph_katz(sf_dir):
     """Katz centrality, fixed 8 rounds, final L2 normalization."""
     from raylinkgraph.algos.katz import Katz
@@ -600,6 +691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
+        "graph_sssp_path": q_graph_sssp_path,
+        "graph_sssp_stats": q_graph_sssp_stats,
+        "graph_bfs_limited": q_graph_bfs_limited,
         "graph_katz": q_graph_katz,
         "graph_lcc": q_graph_lcc,
         "graph_transitivity": q_graph_transitivity,
@@ -753,7 +847,7 @@ def _bfs_sql(rounds: int) -> str:
     )
 
 
-def _sssp_sql(rounds: int) -> str:
+def _sssp_ctes(rounds: int) -> list[str]:
     ctes = [
         "pw AS MATERIALIZED (SELECT LEAST(a.l_partkey, b.l_partkey) AS u, "
         "GREATEST(a.l_partkey, b.l_partkey) AS v, COUNT(*)::DOUBLE AS w "
@@ -780,10 +874,62 @@ def _sssp_sql(rounds: int) -> str:
             f"ELSE LEAST(d.dist, sm{i}.nd) END AS dist "
             f"FROM s{i} d LEFT JOIN sm{i} ON sm{i}.v = d.v)"
         )
+    return ctes
+
+
+def _sssp_sql(rounds: int) -> str:
+    ctes = _sssp_ctes(rounds)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, CAST(dist AS BIGINT) AS dist FROM s{rounds} "
         "WHERE dist IS NOT NULL ORDER BY oid"
+    )
+
+
+def _sssp_path_sql(rounds: int, hops: int) -> str:
+    """Path reconstruction: parent(v) = MIN u with dist(u)+w(u,v)=dist(v)
+    (the engine's tie-break), walked back from the largest reached id."""
+    ctes = _sssp_ctes(rounds)
+    R = f"s{rounds}"
+    ctes.append(
+        f"tgt AS MATERIALIZED (SELECT MAX(v) AS t FROM {R} WHERE dist IS NOT NULL)"
+    )
+    ctes.append(
+        f"par AS MATERIALIZED (SELECT e.d AS v, MIN(e.s) AS p FROM uw e "
+        f"JOIN {R} du ON du.v = e.s JOIN {R} dv ON dv.v = e.d "
+        f"WHERE du.dist IS NOT NULL AND dv.dist IS NOT NULL "
+        f"AND du.dist + e.w = dv.dist GROUP BY e.d)"
+    )
+    ctes.append("w0 AS MATERIALIZED (SELECT 0 AS back, (SELECT t FROM tgt) AS v)")
+    for i in range(hops):
+        ctes.append(
+            f"w{i+1} AS MATERIALIZED (SELECT {i+1} AS back, "
+            f"(SELECT p FROM par WHERE par.v = (SELECT v FROM w{i})) AS v)"
+        )
+    steps = " UNION ALL ".join(f"SELECT * FROM w{i}" for i in range(hops + 1))
+    ctes.append(f"steps AS MATERIALIZED (SELECT * FROM ({steps}) WHERE v IS NOT NULL)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT MAX(back) FROM steps) - back AS seq, st.v AS oid,
+  CAST(d.dist AS BIGINT) AS dist
+FROM steps st JOIN {R} d ON d.v = st.v ORDER BY seq
+"""
+    )
+
+
+def _sssp_stats_sql(rounds: int) -> str:
+    ctes = _sssp_ctes(rounds)
+    R = f"s{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT COUNT(dist)::BIGINT AS n_reached,
+  CAST(FLOOR(SUM(dist) / COUNT(dist) * 1e6 + 0.5) AS BIGINT) AS avg_dist_e6,
+  SUM(CASE WHEN v = (SELECT MAX(v) FROM verts) AND dist IS NOT NULL
+      THEN 1 ELSE 0 END)::BIGINT AS has_path_to_max
+FROM {R}
+"""
     )
 
 
@@ -1153,6 +1299,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _triangles_sql(),
         "graph_kcore": _kcore_sql(20, KCORE_K),
         "graph_sssp": _sssp_sql(15),
+        "graph_sssp_path": _sssp_path_sql(15, 20),
+        "graph_sssp_stats": _sssp_stats_sql(15),
+        "graph_bfs_limited": _bfs_sql(BFS_DEPTH),
         "graph_katz": _katz_sql(8, 0.05, 1.0),
         "graph_hits": _hits_sql(HITS_ITER),
         # MSBFS depth at sf=0.01 is 3; 8 levels is >2x margin (the pp

@@ -25,12 +25,21 @@ class BFS(Superstep):
     msg_dtypes = {"cand": pa.int64()}
     scalar_names = ["active"]
 
-    def __init__(self, source: int, max_rounds: int = 10_000):
+    def __init__(self, source: int, max_rounds: int = 10_000,
+                 depth_limit: int | None = None):
+        # depth_limit: bfs_generic's bounded expansion (run_app.cc:63-66)
+        # — round r settles exactly distance r, so capping rounds at the
+        # limit yields distances <= depth_limit
         self.source = int(source)
         self.max_rounds = int(max_rounds)
+        self.depth_limit = depth_limit if depth_limit is None else int(depth_limit)
 
     def params(self) -> dict:
-        return {"source": self.source, "max_rounds": self.max_rounds}
+        return {
+            "source": self.source,
+            "max_rounds": self.max_rounds,
+            "depth_limit": self.depth_limit,
+        }
 
     def init(self, oids, out_deg):
         dist = np.full(len(oids), UNREACHED)
@@ -76,6 +85,8 @@ class BFS(Superstep):
         return {"dist": dist, "changed": changed}, {"active": float(changed.sum())}
 
     def converged(self, scalars, completed_rounds):
+        if self.depth_limit is not None and completed_rounds >= self.depth_limit:
+            return True
         if completed_rounds >= self.max_rounds:
             return True
         return completed_rounds >= 1 and scalars["active"] == 0.0
