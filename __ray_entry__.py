@@ -412,6 +412,25 @@ def q_graph_betweenness(sf_dir):
     ).sort_values("oid").reset_index(drop=True)
 
 
+LPA_U2I_ROUNDS = 4
+
+
+def q_graph_lpa_u2i(sf_dir):
+    """Bipartite weighted label propagation (lpa_u2i.h:30-246 shape):
+    alternating u2i / i2u weighted-mode rounds on the customer-part
+    graph, weight = lineitem rows per pair, smallest label on ties."""
+    from raylinkgraph.algos.lpa_u2i import LPAU2I
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import PART_OFFSET, get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cpw_und")
+    res = run_bsp(
+        g, LPAU2I(PART_OFFSET, max_rounds=LPA_U2I_ROUNDS),
+        workdir_for(sf_dir, "lpau2i"), max_rounds=LPA_U2I_ROUNDS,
+    )
+    return res.state_pandas()[["oid", "label"]]
+
+
 def q_graph_scc(sf_dir):
     """Strongly connected components on the cyclic customer<->part graph
     (customer->part when ordered, part->customer when returned);
@@ -703,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_harmonic": q_graph_harmonic,
         "graph_betweenness": q_graph_betweenness,
         "graph_scc": q_graph_scc,
+        "graph_lpa_u2i": q_graph_lpa_u2i,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
@@ -1050,6 +1070,42 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _lpa_u2i_sql(rounds: int) -> str:
+    ctes = [
+        "wedges AS MATERIALIZED (SELECT o_custkey AS u, 10000000 + l_partkey AS i, "
+        "COUNT(*)::DOUBLE AS w FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY 1, 2)",
+        "bverts AS MATERIALIZED (SELECT DISTINCT x AS v FROM "
+        "(SELECT u AS x FROM wedges UNION ALL SELECT i FROM wedges))",
+        "bl0 AS MATERIALIZED (SELECT v, v AS lab FROM bverts)",
+    ]
+    for r in range(rounds):
+        if r % 2 == 0:  # u2i: items update from customers
+            cnt = (
+                f"SELECT e.i AS v, l.lab, SUM(e.w) AS c FROM wedges e "
+                f"JOIN bl{r} l ON l.v = e.u GROUP BY e.i, l.lab"
+            )
+        else:  # i2u: customers update from items
+            cnt = (
+                f"SELECT e.u AS v, l.lab, SUM(e.w) AS c FROM wedges e "
+                f"JOIN bl{r} l ON l.v = e.i GROUP BY e.u, l.lab"
+            )
+        ctes.append(f"bcnt{r} AS MATERIALIZED ({cnt})")
+        ctes.append(
+            f"bw{r} AS MATERIALIZED (SELECT v, lab FROM (SELECT v, lab, "
+            f"ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn "
+            f"FROM bcnt{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"bl{r+1} AS MATERIALIZED (SELECT p.v, COALESCE(bw{r}.lab, p.lab) AS lab "
+            f"FROM bl{r} p LEFT JOIN bw{r} ON bw{r}.v = p.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, lab AS label FROM bl{rounds} ORDER BY oid"
+    )
+
+
 _CPR_EDGES = (
     "SELECT DISTINCT o_custkey AS s, 10000000 + l_partkey AS d "
     "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
@@ -1310,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_scc": _scc_sql(4, 12),
+        "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -272,6 +272,19 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
                 pp_weighted_edges(sf_dir), gdir, P=P, symmetrize=True,
                 weight_col="weight",
             )
+        elif kind == "cpw_und":
+            # weighted bipartite: weight = lineitem rows per (cust, part),
+            # symmetrized for alternating u2i / i2u propagation
+            def add_w(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "weight", pa.array(np.ones(batch.num_rows), pa.float64())
+                )
+
+            g = LinkGraph.build(
+                cp_edges(sf_dir).map_batches(add_w, batch_format="pyarrow"),
+                gdir, P=P, symmetrize=True,
+                weight_col="weight", dedup_weight="sum",
+            )
         elif kind == "cpr_flag":
             from raylinkgraph.algos.hits import augment_edges_ds
 
