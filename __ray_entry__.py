@@ -431,6 +431,35 @@ def q_graph_lpa_u2i(sf_dir):
     return res.state_pandas()[["oid", "label"]]
 
 
+def q_graph_louvain(sf_dir):
+    """Louvain (deterministic fixed-round spec, 2 levels) on the pp
+    co-order graph; rows-only driver check — exactness is pinned by the
+    pytest single-process reference of the same spec."""
+    from raylinkgraph.algos.louvain import run_louvain
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    import json
+
+    g = get_graph(sf_dir, "pps")
+    wd = workdir_for(sf_dir, "louvain")
+    cache = os.path.join(wd, "result.json")
+    spec = {"rounds": 2, "levels": 2, "digest": g.digest()}
+    if os.path.exists(cache):
+        with open(cache) as f:
+            saved = json.load(f)
+        if saved["spec"] == spec:
+            df = pd.DataFrame(saved["rows"])
+            return df.astype({"oid": np.int64, "comm": np.int64,
+                              "modularity_e6": np.int64})
+    comm, q = run_louvain(g, wd, rounds=spec["rounds"], levels=spec["levels"])
+    df = comm.to_pandas().sort_values("v").reset_index(drop=True)
+    df["modularity_e6"] = _rank_e6(np.full(len(df), q))
+    df = df[["v", "comm", "modularity_e6"]].rename(columns={"v": "oid"})
+    with open(cache, "w") as f:
+        json.dump({"spec": spec, "rows": df.to_dict("list")}, f)
+    return df
+
+
 def q_graph_scc(sf_dir):
     """Strongly connected components on the cyclic customer<->part graph
     (customer->part when ordered, part->customer when returned);
@@ -723,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness": q_graph_betweenness,
         "graph_scc": q_graph_scc,
         "graph_lpa_u2i": q_graph_lpa_u2i,
+        "graph_louvain": q_graph_louvain,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,

@@ -272,6 +272,19 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
                 pp_weighted_edges(sf_dir), gdir, P=P, symmetrize=True,
                 weight_col="weight",
             )
+        elif kind == "pps":
+            # induced pp subgraph on partkey < 500 — a bounded-size input
+            # for expensive multi-level queries (driver-side louvain)
+            def small(batch: pa.Table) -> pa.Table:
+                s = batch.column("src_id").to_numpy(zero_copy_only=False)
+                d = batch.column("dst_id").to_numpy(zero_copy_only=False)
+                keep = (s < 500) & (d < 500)
+                return batch.filter(pa.array(keep))
+
+            g = LinkGraph.build(
+                pp_edges(sf_dir).map_batches(small, batch_format="pyarrow"),
+                gdir, P=P, symmetrize=True,
+            )
         elif kind == "cpw_und":
             # weighted bipartite: weight = lineitem rows per (cust, part),
             # symmetrized for alternating u2i / i2u propagation
