@@ -348,6 +348,156 @@ def q_graph_assortativity(sf_dir):
 
 CLOSENESS_SRC = 64
 BC_SRC = 8
+AR_ROUNDS = 10
+PPR_ROUNDS = 15
+EV_ROUNDS = 8
+
+
+def q_graph_corenum(sf_dir):
+    """Core-number decomposition (kshell, yaml:162) by one-pass
+    distributed peeling; oracle = the unrolled H-index iteration
+    (converges to coreness from c0 = degree)."""
+    from raylinkgraph.algos.kshell import run_core_number
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    # peeling runs O(peel-depth + k_max) short rounds: the resident-actor
+    # engine's ~ms barrier beats the Dataset engine's per-round latency
+    df = run_core_number(g, workdir_for(sf_dir, "corenum"), engine="actors")
+    return df.sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_articlerank(sf_dir):
+    """ArticleRank (flash_articlerank, yaml:314): PageRank with the
+    out-degree denominator shifted by the mean degree, no dangling
+    redistribution; fixed rounds."""
+    from raylinkgraph.algos.rank_variants import ArticleRank
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    res = run_bsp(
+        g, ArticleRank(g.n_vertices, g.n_edges, alpha=ALPHA, max_rounds=AR_ROUNDS),
+        workdir_for(sf_dir, "ar"), max_rounds=AR_ROUNDS,
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"], "ar_e9": np.floor(df["ar"].to_numpy() * 1e9 + 0.5).astype(np.int64)}
+    )
+
+
+def q_graph_ppr(sf_dir):
+    """Personalized PageRank from the min-id source (flash_ppr,
+    yaml:321): teleport and dangling mass return to the source."""
+    from raylinkgraph.algos.rank_variants import PPR
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    src = int(g.edges_ds().min("src_id"))
+    res = run_bsp(
+        g, PPR(src, alpha=ALPHA, max_rounds=PPR_ROUNDS),
+        workdir_for(sf_dir, "ppr"), max_rounds=PPR_ROUNDS,
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"], "ppr_e9": np.floor(df["r"].to_numpy() * 1e9 + 0.5).astype(np.int64)}
+    )
+
+
+def q_graph_eigenvector(sf_dir):
+    """Eigenvector centrality ((A^T + I) power iteration, yaml:138),
+    fixed rounds, final L2 normalization."""
+    from raylinkgraph.algos.eigenvector import Eigenvector
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "cp")
+    res = run_bsp(
+        g, Eigenvector(g.n_vertices, tol=0.0, max_rounds=EV_ROUNDS),
+        workdir_for(sf_dir, "ev"), max_rounds=EV_ROUNDS,
+    )
+    df = res.state_pandas()
+    x = df["y"].to_numpy() / np.sqrt(res.scalars["sumsq"])
+    return pd.DataFrame({"oid": df["oid"], "ev_e6": _rank_e6(x)})
+
+
+def q_graph_degree_centrality(sf_dir):
+    """degree_centrality (yaml:131): out_deg / (n - 1)."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    df = graph_ops.degree_centrality(g).to_pandas().sort_values("oid")
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "dc_e9": np.floor(df["centrality"].to_numpy() * 1e9 + 0.5).astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+def q_graph_avg_degree_conn(sf_dir):
+    """average_degree_connectivity (yaml:254) on the pp graph."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    df = graph_ops.average_degree_connectivity(g)
+    return pd.DataFrame(
+        {"k": df["k"].to_numpy(np.int64),
+         "avg_nbr_deg_e6": _rank_e6(df["avg_nbr_deg"].to_numpy())}
+    )
+
+
+def q_graph_attr_assortativity(sf_dir):
+    """attribute_assortativity_coefficient (yaml:262) over p_brand on the
+    pp co-order graph; the mixing matrix is a distributed count, the
+    final coefficient a tiny driver formula (the reference gathers the
+    matrix at worker 0 too, attribute_assortativity.h:169)."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    mix = graph_ops.attribute_mixing_matrix(
+        g, f"{sf_dir}/part.parquet", "p_partkey", "p_brand"
+    )
+    r = graph_ops.attribute_assortativity(mix)
+    return pd.DataFrame({"attr_assortativity_e6": _rank_e6(np.array([r]))})
+
+
+def q_graph_boundary(sf_dir):
+    """node_boundary + edge_boundary (apps/boundary/*.h:30-31) for
+    S = {v : v % 10 == 0} on the pp graph: boundary node rows plus the
+    boundary edge count."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    in_set = lambda v: (v % 10) == 0  # noqa: E731
+    nodes = graph_ops.node_boundary(g, in_set).to_pandas().sort_values("oid")
+    n_edges = graph_ops.edge_boundary(g, in_set).count()
+    out = pd.DataFrame({"oid": nodes["oid"].to_numpy(np.int64)})
+    out["n_boundary_edges"] = np.int64(n_edges)
+    return out.reset_index(drop=True)
+
+
+def q_graph_diameter(sf_dir):
+    """Double-sweep diameter lower bound (flash_diameter_approx,
+    yaml:457) on the pp graph."""
+    from raylinkgraph.algos.centrality import two_sweep_diameter
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    d = two_sweep_diameter(g, workdir_for(sf_dir, "diam"))
+    return pd.DataFrame(
+        {
+            "source": np.array([d["source"]], np.int64),
+            "far_vertex": np.array([d["far_vertex"]], np.int64),
+            "ecc1": np.array([d["ecc1"]], np.int64),
+            "diameter_lb": np.array([d["diameter_lb"]], np.int64),
+        }
+    )
 
 
 def q_graph_closeness(sf_dir):
@@ -753,6 +903,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": q_graph_scc,
         "graph_lpa_u2i": q_graph_lpa_u2i,
         "graph_louvain": q_graph_louvain,
+        "graph_corenum": q_graph_corenum,
+        "graph_articlerank": q_graph_articlerank,
+        "graph_ppr": q_graph_ppr,
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_degree_centrality": q_graph_degree_centrality,
+        "graph_avg_degree_conn": q_graph_avg_degree_conn,
+        "graph_attr_assortativity": q_graph_attr_assortativity,
+        "graph_boundary": q_graph_boundary,
+        "graph_diameter": q_graph_diameter,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "doc_token_counts": q_doc_token_counts,
@@ -1100,6 +1259,238 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+_UEDGES_PP = (
+    "SELECT u AS s, v AS d FROM pedges UNION SELECT v, u FROM pedges"
+)
+
+
+def _corenum_sql(rounds: int) -> str:
+    """H-index iteration: c0 = degree; c_{t+1}(v) = H of the neighbors'
+    c_t (max h with >= h neighbors at c >= h) — converges exactly to the
+    core number (Lu et al. 2016); ``rounds`` carries >=2x margin over
+    observed convergence."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "c0 AS MATERIALIZED (SELECT s AS v, COUNT(*) AS c FROM uedges GROUP BY s)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"nb{t} AS MATERIALIZED (SELECT e.s AS v, c.c AS c, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.s ORDER BY c.c DESC) AS rn "
+            f"FROM uedges e JOIN c{t} c ON c.v = e.d)"
+        )
+        ctes.append(
+            f"c{t+1} AS MATERIALIZED (SELECT v, MAX(LEAST(c, rn)) AS c "
+            f"FROM nb{t} GROUP BY v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, c AS core FROM c{rounds} ORDER BY oid"
+    )
+
+
+def _articlerank_sql(rounds: int, alpha: float) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src_id AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src_id)",
+        "ad AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM edges)::DOUBLE / (SELECT n FROM nn) AS x)",
+        "ar0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"arm{i} AS MATERIALIZED (SELECT e.dst_id AS v, "
+            f"SUM(a.x / (deg.d + (SELECT x FROM ad))) AS s "
+            f"FROM edges e JOIN ar{i} a ON e.src_id = a.v "
+            f"JOIN deg ON deg.v = e.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"ar{i+1} AS MATERIALIZED (SELECT verts.v, "
+            f"{1.0 - alpha} / (SELECT n FROM nn) + {alpha} * COALESCE(arm{i}.s, 0) AS x "
+            f"FROM verts LEFT JOIN arm{i} ON arm{i}.v = verts.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT) AS ar_e9 "
+        f"FROM ar{rounds} ORDER BY oid"
+    )
+
+
+def _ppr_sql(rounds: int, alpha: float) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "deg AS MATERIALIZED (SELECT src_id AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src_id)",
+        "psrc AS MATERIALIZED (SELECT MIN(src_id) AS s FROM edges)",
+        "pr0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM psrc) "
+        "THEN 1.0 ELSE 0.0 END AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"pdang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.x), 0) AS s FROM pr{i} r "
+            f"LEFT JOIN deg ON deg.v = r.v WHERE deg.v IS NULL)"
+        )
+        ctes.append(
+            f"prm{i} AS MATERIALIZED (SELECT e.dst_id AS v, SUM(r.x / deg.d) AS s "
+            f"FROM edges e JOIN pr{i} r ON e.src_id = r.v "
+            f"JOIN deg ON deg.v = e.src_id GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"pr{i+1} AS MATERIALIZED (SELECT verts.v, "
+            f"{1.0 - alpha} * (CASE WHEN verts.v = (SELECT s FROM psrc) THEN 1.0 ELSE 0.0 END) "
+            f"+ {alpha} * (COALESCE(prm{i}.s, 0) + (SELECT s FROM pdang{i}) * "
+            f"(CASE WHEN verts.v = (SELECT s FROM psrc) THEN 1.0 ELSE 0.0 END)) AS x "
+            f"FROM verts LEFT JOIN prm{i} ON prm{i}.v = verts.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT) AS ppr_e9 "
+        f"FROM pr{rounds} ORDER BY oid"
+    )
+
+
+def _eigenvector_sql(rounds: int) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"ym{i} AS MATERIALIZED (SELECT e.dst_id AS v, SUM(x.x) AS s "
+            f"FROM edges e JOIN x{i} x ON e.src_id = x.v GROUP BY e.dst_id)"
+        )
+        ctes.append(
+            f"y{i+1} AS MATERIALIZED (SELECT verts.v, x{i}.x + COALESCE(ym{i}.s, 0) AS y "
+            f"FROM verts JOIN x{i} ON x{i}.v = verts.v "
+            f"LEFT JOIN ym{i} ON ym{i}.v = verts.v)"
+        )
+        ctes.append(
+            f"x{i+1} AS MATERIALIZED (SELECT v, "
+            f"y / (SELECT SQRT(SUM(y * y)) FROM y{i+1}) AS x FROM y{i+1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) AS ev_e6 "
+        f"FROM x{rounds} ORDER BY oid"
+    )
+
+
+def _avg_degree_conn_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PP_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PP}),
+deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS dg FROM uedges GROUP BY s)
+SELECT ds.dg AS k,
+  CAST(FLOOR(SUM(dd.dg)::DOUBLE / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS avg_nbr_deg_e6
+FROM uedges e JOIN deg ds ON ds.v = e.s JOIN deg dd ON dd.v = e.d
+GROUP BY k ORDER BY k
+"""
+
+
+def _attr_assort_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PP_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PP}),
+br AS MATERIALIZED (SELECT p_partkey AS v, p_brand AS b FROM part),
+pairs AS MATERIALIZED (
+  SELECT bs.b AS a_src, bd.b AS a_dst FROM uedges e
+  JOIN br bs ON bs.v = e.s JOIN br bd ON bd.v = e.d
+),
+tot AS (SELECT COUNT(*)::DOUBLE AS t FROM pairs),
+eii AS (SELECT SUM(CASE WHEN a_src = a_dst THEN 1 ELSE 0 END)::DOUBLE
+        / (SELECT t FROM tot) AS x FROM pairs),
+rowm AS (SELECT a_src AS b, COUNT(*)::DOUBLE AS c FROM pairs GROUP BY a_src),
+colm AS (SELECT a_dst AS b, COUNT(*)::DOUBLE AS c FROM pairs GROUP BY a_dst),
+ab AS (SELECT SUM(rowm.c * colm.c) / ((SELECT t FROM tot) * (SELECT t FROM tot)) AS x
+       FROM rowm JOIN colm ON colm.b = rowm.b)
+SELECT CAST(FLOOR(((SELECT x FROM eii) - (SELECT x FROM ab))
+  / (1.0 - (SELECT x FROM ab)) * 1e6 + 0.5) AS BIGINT) AS attr_assortativity_e6
+"""
+
+
+def _boundary_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PP_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PP}),
+bedges AS MATERIALIZED (
+  SELECT s, d FROM uedges WHERE s % 10 = 0 AND d % 10 <> 0
+),
+cnt AS (SELECT COUNT(*) AS c FROM bedges)
+SELECT DISTINCT d AS oid, (SELECT c FROM cnt)::BIGINT AS n_boundary_edges
+FROM bedges ORDER BY oid
+"""
+
+
+def _diameter_sql(rounds: int) -> str:
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "dverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "src1 AS MATERIALIZED (SELECT MIN(v) AS s FROM dverts)",
+        "e0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM src1) "
+        "THEN 0 END AS dist FROM dverts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"em{i} AS MATERIALIZED (SELECT e.d AS v, MIN(x.dist) + 1 AS nd "
+            f"FROM uedges e JOIN e{i} x ON e.s = x.v "
+            f"WHERE x.dist IS NOT NULL GROUP BY e.d)"
+        )
+        ctes.append(
+            f"e{i+1} AS MATERIALIZED (SELECT x.v, CASE "
+            f"WHEN x.dist IS NULL THEN em{i}.nd WHEN em{i}.nd IS NULL THEN x.dist "
+            f"ELSE LEAST(x.dist, em{i}.nd) END AS dist "
+            f"FROM e{i} x LEFT JOIN em{i} ON em{i}.v = x.v)"
+        )
+    R1 = f"e{rounds}"
+    ctes.append(
+        f"far AS MATERIALIZED (SELECT v, dist FROM {R1} WHERE dist IS NOT NULL "
+        f"ORDER BY dist DESC, v ASC LIMIT 1)"
+    )
+    ctes.append(
+        "f0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT v FROM far) "
+        "THEN 0 END AS dist FROM dverts)"
+    )
+    for i in range(rounds):
+        ctes.append(
+            f"fm{i} AS MATERIALIZED (SELECT e.d AS v, MIN(x.dist) + 1 AS nd "
+            f"FROM uedges e JOIN f{i} x ON e.s = x.v "
+            f"WHERE x.dist IS NOT NULL GROUP BY e.d)"
+        )
+        ctes.append(
+            f"f{i+1} AS MATERIALIZED (SELECT x.v, CASE "
+            f"WHEN x.dist IS NULL THEN fm{i}.nd WHEN fm{i}.nd IS NULL THEN x.dist "
+            f"ELSE LEAST(x.dist, fm{i}.nd) END AS dist "
+            f"FROM f{i} x LEFT JOIN fm{i} ON fm{i}.v = x.v)"
+        )
+    R2 = f"f{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT s FROM src1) AS source, (SELECT v FROM far) AS far_vertex,
+  (SELECT dist FROM far) AS ecc1,
+  (SELECT MAX(dist) FROM {R2}) AS diameter_lb
+"""
+    )
+
+
+def _degree_centrality_sql() -> str:
+    return f"""
+WITH edges AS MATERIALIZED ({_EDGES}),
+verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+odeg AS (SELECT src_id AS v, COUNT(*) AS d FROM edges GROUP BY src_id)
+SELECT verts.v AS oid,
+  CAST(FLOOR(COALESCE(odeg.d, 0)::DOUBLE / ((SELECT n FROM nn) - 1) * 1e9 + 0.5)
+       AS BIGINT) AS dc_e9
+FROM verts LEFT JOIN odeg ON odeg.v = verts.v ORDER BY oid
+"""
+
+
 def _lpa_u2i_sql(rounds: int) -> str:
     ctes = [
         "wedges AS MATERIALIZED (SELECT o_custkey AS u, 10000000 + l_partkey AS i, "
@@ -1397,6 +1788,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_scc": _scc_sql(4, 12),
         "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
+        "graph_corenum": _corenum_sql(30),
+        "graph_articlerank": _articlerank_sql(AR_ROUNDS, ALPHA),
+        "graph_ppr": _ppr_sql(PPR_ROUNDS, ALPHA),
+        "graph_eigenvector": _eigenvector_sql(EV_ROUNDS),
+        "graph_degree_centrality": _degree_centrality_sql(),
+        "graph_avg_degree_conn": _avg_degree_conn_sql(),
+        "graph_attr_assortativity": _attr_assort_sql(),
+        "graph_boundary": _boundary_sql(),
+        "graph_diameter": _diameter_sql(10),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

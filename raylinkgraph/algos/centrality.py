@@ -169,6 +169,38 @@ def smallest_oids(graph: LinkGraph, n: int) -> np.ndarray:
     return allh[:n]
 
 
+def two_sweep_diameter(graph: LinkGraph, workdir: str) -> dict:
+    """Double-sweep diameter lower bound (flash_diameter_approx,
+    .gs_conf.yaml:457): BFS from the smallest id, then BFS from the
+    farthest vertex found (ties -> smallest id); the second eccentricity
+    is the bound. Per-sweep argmax is a per-batch partial reduce."""
+    import pandas as pd
+
+    from raylinkgraph.algos.bfs import BFS, UNREACHED
+    from raylinkgraph.bsp import run_bsp
+
+    def farthest(res):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["dist"] != UNREACHED]
+            if not len(b):
+                return pd.DataFrame({"d": [np.int64(-1)], "v": [np.int64(-1)]})
+            i = np.lexsort((b["oid"].to_numpy(), -b["dist"].to_numpy()))[0]
+            return pd.DataFrame(
+                {"d": [np.int64(b["dist"].iloc[i])], "v": [np.int64(b["oid"].iloc[i])]}
+            )
+
+        parts = res.state_ds().map_batches(partial, batch_format="pandas").to_pandas()
+        i = np.lexsort((parts["v"].to_numpy(), -parts["d"].to_numpy()))[0]
+        return int(parts["v"].iloc[i]), int(parts["d"].iloc[i])
+
+    s0 = int(smallest_oids(graph, 1)[0])
+    r1 = run_bsp(graph, BFS(s0), os.path.join(workdir, "sweep1"), max_rounds=10_000)
+    w, ecc1 = farthest(r1)
+    r2 = run_bsp(graph, BFS(w), os.path.join(workdir, "sweep2"), max_rounds=10_000)
+    w2, ecc2 = farthest(r2)
+    return {"source": s0, "far_vertex": w, "ecc1": ecc1, "diameter_lb": ecc2}
+
+
 def run_closeness(
     graph: LinkGraph,
     workdir: str,

@@ -157,6 +157,190 @@ def degree_assortativity(graph: LinkGraph) -> float:
     return float(cov / denom) if denom else 0.0
 
 
+def average_degree_connectivity(graph: LinkGraph) -> pd.DataFrame:
+    """Per degree value k: mean degree of the neighbors of degree-k
+    vertices (reference average_degree_connectivity, .gs_conf.yaml:254).
+    Same two-shuffle deg-attach as degree_assortativity, reduced to
+    per-k (sum, count) partials -> tiny driver-side divide."""
+    P = graph.P
+
+    def attach_deg(g: pd.DataFrame, col: str) -> np.ndarray:
+        pid = int(g["pid"].iloc[0])
+        vs = pq.read_table(graph.vertexstate_path(pid))
+        oids = vs.column("oid").to_numpy(zero_copy_only=False)
+        deg = vs.column("out_deg").to_numpy(zero_copy_only=False)
+        return deg[np.searchsorted(oids, g[col].to_numpy(np.int64))]
+
+    def tag_dst(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src_id": batch.column("src_id"),
+                "dst_id": batch.column("dst_id"),
+                "pid": pa.array(partition_of(dst, P), pa.int32()),
+            }
+        )
+
+    def step1(g: pd.DataFrame) -> pd.DataFrame:
+        dd = attach_deg(g, "dst_id")
+        out = g[["src_id"]].copy()
+        out["deg_dst"] = dd
+        src = out["src_id"].to_numpy(np.int64)
+        out["pid"] = partition_of(src, P)
+        return out
+
+    def step2(g: pd.DataFrame) -> pd.DataFrame:
+        ds = attach_deg(g, "src_id")
+        t = pd.DataFrame({"k": ds, "s": g["deg_dst"].to_numpy(np.float64)})
+        agg = t.groupby("k")["s"].agg(["sum", "count"]).reset_index()
+        return pd.DataFrame(
+            {"k": agg["k"].astype(np.int64), "s": agg["sum"].astype(np.float64),
+             "c": agg["count"].astype(np.int64)}
+        )
+
+    parts = (
+        graph.edges_ds()
+        .map_batches(tag_dst, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(step1, batch_format="pandas")
+        .groupby("pid")
+        .map_groups(step2, batch_format="pandas")
+    ).to_pandas()
+    agg = parts.groupby("k").agg(s=("s", "sum"), c=("c", "sum")).reset_index()
+    agg["avg_nbr_deg"] = agg["s"] / agg["c"]
+    return agg[["k", "avg_nbr_deg"]].sort_values("k").reset_index(drop=True)
+
+
+def attribute_mixing_matrix(
+    graph: LinkGraph, attr_parquet: str, key_col: str, attr_col: str,
+    *, buckets: int = 32,
+) -> pd.DataFrame:
+    """Edge counts per (attr(src), attr(dst)) — the reference's global
+    mixing-matrix gather (apps/assortativity/attribute_assortativity.h:169)
+    as two bucket joins + a tiny (|categories|^2) driver collect."""
+    attrs = rd.read_parquet(attr_parquet, columns=[key_col, attr_col])
+
+    def tag_attr(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b[key_col].to_numpy(np.int64),
+                "a": b[attr_col].astype(str),
+                "src_id": np.full(len(b), -1, np.int64),
+                "side": np.int8(1),
+                "bucket": partition_of(b[key_col].to_numpy(np.int64), buckets),
+            }
+        )
+
+    def tag_edges_dst(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b["dst_id"].to_numpy(np.int64),
+                "a": "",
+                "src_id": b["src_id"].to_numpy(np.int64),
+                "side": np.int8(0),
+                "bucket": partition_of(b["dst_id"].to_numpy(np.int64), buckets),
+            }
+        )
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["side"] == 1].sort_values("k")
+        d = g[g["side"] == 0]
+        keys = lut["k"].to_numpy(np.int64)
+        vals = lut["a"].to_numpy()
+        pos = np.searchsorted(keys, d["k"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "k": d["src_id"].to_numpy(np.int64),
+                "a": "",
+                "a_dst": vals[pos],
+                "side": np.int8(0),
+                "bucket": partition_of(d["src_id"].to_numpy(np.int64), buckets),
+            }
+        )
+
+    def tag_attr2(b: pd.DataFrame) -> pd.DataFrame:
+        out = tag_attr(b)
+        out["a_dst"] = ""
+        return out[["k", "a", "a_dst", "side", "bucket"]]
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["side"] == 1].sort_values("k")
+        d = g[g["side"] == 0]
+        keys = lut["k"].to_numpy(np.int64)
+        vals = lut["a"].to_numpy()
+        pos = np.searchsorted(keys, d["k"].to_numpy(np.int64))
+        t = pd.DataFrame({"a_src": vals[pos], "a_dst": d["a_dst"].to_numpy()})
+        agg = t.groupby(["a_src", "a_dst"]).size().reset_index(name="n")
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    e1 = (
+        graph.edges_ds()
+        .map_batches(tag_edges_dst, batch_format="pandas")
+        .union(attrs.map_batches(tag_attr, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(join1, batch_format="pandas")
+    )
+    counts = (
+        e1.union(attrs.map_batches(tag_attr2, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(join2, batch_format="pandas")
+    ).to_pandas()
+    return (
+        counts.groupby(["a_src", "a_dst"])["n"].sum().reset_index()
+        .sort_values(["a_src", "a_dst"]).reset_index(drop=True)
+    )
+
+
+def attribute_assortativity(mix: pd.DataFrame) -> float:
+    """r = (tr(e) - sum_i a_i b_i) / (1 - sum_i a_i b_i) over the
+    normalized mixing matrix (categorical assortativity)."""
+    total = float(mix["n"].sum())
+    e_ii = float(mix.loc[mix["a_src"] == mix["a_dst"], "n"].sum()) / total
+    a = mix.groupby("a_src")["n"].sum() / total
+    b = mix.groupby("a_dst")["n"].sum() / total
+    ab = float((a * b).fillna(0.0).sum())
+    return (e_ii - ab) / (1.0 - ab) if ab < 1.0 else 1.0
+
+
+def edge_boundary(graph: LinkGraph, in_set) -> rd.Dataset:
+    """Edges from S to V\\S (reference apps/boundary/edge_boundary.h:31).
+    ``in_set``: vectorized predicate oid-array -> bool-array."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        m = in_set(src) & ~in_set(dst)
+        return batch.filter(pa.array(m))
+
+    return graph.edges_ds().map_batches(f, batch_format="pyarrow")
+
+
+def node_boundary(graph: LinkGraph, in_set) -> rd.Dataset:
+    """{v not in S : exists u in S with (u,v) in E} (node_boundary.h:30):
+    filter + per-batch unique + one dedup shuffle on hash(v)."""
+    P = graph.P
+
+    def f(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        v = np.unique(dst[in_set(src) & ~in_set(dst)])
+        return pa.table(
+            {"oid": pa.array(v, pa.int64()),
+             "pid": pa.array(partition_of(v, P), pa.int32())}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"oid": np.unique(g["oid"].to_numpy(np.int64))})
+
+    return (
+        graph.edges_ds()
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def has_node(graph: LinkGraph, oid: int) -> bool:
     """Point query against the home partition only (no full scan)."""
     pid = int(partition_of(np.array([oid], np.int64), graph.P)[0])
