@@ -695,6 +695,43 @@ def q_graph_hits(sf_dir):
     )
 
 
+def q_rel_csv_roundtrip(sf_dir):
+    """Loader parity (framework/loader.py:94-211): orders exported to
+    pipe-delimited CSV, re-read through the option-suffix loader
+    (#delimiter=|), aggregated — must match the parquet-sourced SQL."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    from raylinkgraph.pipelines.tpch_graph import CACHE_ROOT, _content_sig
+    from raylinkgraph.sources.loader import load_table
+
+    sig = _content_sig(sf_dir)
+    out_dir = os.path.join(CACHE_ROOT, f"orders-csv-{sig}.csv")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+        ).write_csv(
+            # options built on the worker (WriteOptions is not picklable)
+            out_dir,
+            arrow_csv_args_fn=lambda: {
+                "write_options": pacsv.WriteOptions(delimiter="|")
+            },
+        )
+    orders = load_table(out_dir + "#delimiter=|#header_row=true")
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        orders.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="tp"))
+        .to_pandas()
+    )
+    out["total_cents"] = np.floor(out["tp"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["o_orderstatus", "n", "total_cents"]].sort_values(
+        "o_orderstatus"
+    ).reset_index(drop=True)
+
+
 def q_doc_token_counts(sf_dir):
     from raylinkgraph.functions.textops import token_counts
 
@@ -914,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": q_graph_diameter,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
+        "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
         "doc_char_stats": q_doc_char_stats,
         "doc_lang_distribution": q_doc_lang_distribution,
@@ -1808,6 +1846,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_parts": (
             f"SELECT dst_id, COUNT(*) AS n_customers FROM ({_EDGES}) "
             "GROUP BY dst_id ORDER BY n_customers DESC, dst_id ASC LIMIT 20"
+        ),
+        "rel_csv_roundtrip": (
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "doc_token_counts": (
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "

@@ -149,24 +149,56 @@ def minhash_lsh_pairs(
         num_cpus=1,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
-            )
-        if n > max_bucket:  # skew guard: never explode a degenerate bucket
-            g = g.head(max_bucket)
-            n = max_bucket
-        ids = g["doc_id"].to_numpy(np.int64)
-        sigs = np.stack(g["sig"].to_numpy())
+    def one_bucket(ids: np.ndarray, sigs: np.ndarray) -> pd.DataFrame:
+        n = len(ids)
         iu, ju = np.triu_indices(n, k=1)
         est = (sigs[iu] == sigs[ju]).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame(
             {"a": ids[iu[keep]], "b": ids[ju[keep]], "est_jaccard": est[keep]}
         )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
+            {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
+        )
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return empty
+        ids = g["doc_id"].to_numpy(np.int64)
+        sigs = np.stack(g["sig"].to_numpy())
+        if n <= max_bucket:
+            return one_bucket(ids, sigs)
+        # skew guard: SPLIT the hot bucket instead of silently dropping.
+        # Level 1: sub-bucket on a secondary signature component (near-dups
+        # share most permutations, so they co-locate). Level 2: a sub-bucket
+        # of identical signatures is chunked by doc order — only then are
+        # cross-chunk pairs skipped, and that loss is LOGGED.
+        n_sub = int(np.ceil(n / max_bucket))
+        sub = (sigs[:, 0].astype(np.uint64) % np.uint64(n_sub)).astype(np.int64)
+        parts, skipped = [], 0
+        for s in np.unique(sub):
+            m = sub == s
+            sids, ssigs = ids[m], sigs[m]
+            if len(sids) <= max_bucket:
+                parts.append(one_bucket(sids, ssigs))
+            else:
+                for lo in range(0, len(sids), max_bucket):
+                    hi = min(lo + max_bucket, len(sids))
+                    parts.append(one_bucket(sids[lo:hi], ssigs[lo:hi]))
+                skipped += len(sids) * (len(sids) - 1) // 2 - sum(
+                    (min(lo + max_bucket, len(sids)) - lo)
+                    * (min(lo + max_bucket, len(sids)) - lo - 1) // 2
+                    for lo in range(0, len(sids), max_bucket)
+                )
+        if skipped:
+            print(
+                f"[minhash_lsh] hot bucket (n={n}) chunked: "
+                f"{skipped} candidate pairs skipped after sub-split"
+            )
+        out = pd.concat(parts, ignore_index=True) if parts else empty
+        return out.drop_duplicates(["a", "b"]) if len(out) else empty
 
     pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
@@ -185,34 +217,44 @@ def minhash_lsh_pairs(
 _TOKEN_RE = re.compile(r"\S+")
 
 
+_FNV_OFF = _U64(14695981039346656037)
+_FNV_PRIME = _U64(1099511628211)
+
+
+def _fnv_tokens(toks: list[str]) -> np.ndarray:
+    """FNV-1a of each token, vectorized: one pass over a padded view of
+    the space-joined byte stream (tokens are \\S+ so the space separator
+    is unambiguous); the inner loop runs max-token-LENGTH times over all
+    tokens at once — byte-identical to the per-byte Python loop it
+    replaces."""
+    if not toks:
+        return np.empty(0, _U64)
+    arr = np.frombuffer(" ".join(toks).encode("utf-8"), np.uint8)
+    sep = np.flatnonzero(arr == 32)
+    starts = np.r_[0, sep + 1]
+    ends = np.r_[sep, len(arr)]
+    lengths = ends - starts
+    h = np.full(len(toks), _FNV_OFF)
+    for j in range(int(lengths.max())):
+        active = lengths > j
+        h[active] = (h[active] ^ arr[starts[active] + j].astype(_U64)) * _FNV_PRIME
+    return h
+
+
 class SimHasher:
     """64-bit SimHash over token FNV hashes (weight = token count)."""
 
     def __init__(self, seed: int = 99):
         self.token = _TOKEN_RE
 
-    @staticmethod
-    def _tok_hashes(toks: list[str]) -> np.ndarray:
-        out = np.empty(len(toks), np.uint64)
-        for i, t in enumerate(toks):
-            h = _U64(14695981039346656037)
-            for byt in t.encode("utf-8"):
-                h = (h ^ _U64(byt)) * _U64(1099511628211)
-            out[i] = h
-        return out
-
     def simhash(self, text: str) -> np.uint64:
         toks = self.token.findall(text)
         if not toks:
             return _U64(0)
-        hs = self._tok_hashes(toks)
+        hs = _fnv_tokens(toks)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1))
         v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out = _U64(0)
-        for j in range(64):
-            if v[j] > 0:
-                out |= _U64(1) << _U64(j)
-        return out
+        return _U64(np.packbits((v > 0)[::-1]).view(">u8")[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sh = np.array([self.simhash(t) for t in batch["text"]], dtype=np.uint64)
@@ -245,17 +287,10 @@ def simhash_pairs(
             )
         return pd.concat(rows, ignore_index=True)
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2 or n > 2000:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-                 "hamming": pd.Series([], dtype=np.int64)}
-            )
-        ids = g["doc_id"].to_numpy(np.int64)
-        h = g["simhash"].to_numpy(np.int64).astype(np.uint64)
-        iu, ju = np.triu_indices(n, k=1)
+    MAXB = 2000
+
+    def pairs_of(ids: np.ndarray, h: np.ndarray) -> pd.DataFrame:
+        iu, ju = np.triu_indices(len(ids), k=1)
         x = h[iu] ^ h[ju]
         ham = np.zeros(len(x), np.int64)
         while True:
@@ -266,6 +301,38 @@ def simhash_pairs(
             x = x & (x - _U64(1))
         keep = ham <= 3
         return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return empty
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = g["simhash"].to_numpy(np.int64).astype(np.uint64)
+        if n <= MAXB:
+            return pairs_of(ids, h)
+        # hot bucket: sub-split on the OTHER half of the simhash (near-dups
+        # at Hamming<=3 almost always agree there); chunk any residue and
+        # log the skipped cross-chunk comparisons instead of dropping all
+        n_sub = int(np.ceil(n / MAXB))
+        sub = ((h >> _U64(32)) % np.uint64(n_sub)).astype(np.int64)
+        parts, skipped = [], 0
+        for s in np.unique(sub):
+            m = sub == s
+            sids, sh = ids[m], h[m]
+            for lo in range(0, len(sids), MAXB):
+                hi = min(lo + MAXB, len(sids))
+                parts.append(pairs_of(sids[lo:hi], sh[lo:hi]))
+            if len(sids) > MAXB:
+                skipped += 1
+        if skipped:
+            print(f"[simhash] hot bucket (n={n}): {skipped} sub-buckets chunked")
+        out = pd.concat(parts, ignore_index=True) if parts else empty
+        return out.drop_duplicates(["a", "b"]) if len(out) else empty
 
     pairs = (
         sig.map_batches(explode, batch_format="pandas")

@@ -141,7 +141,12 @@ def _fnv1a_bytes(s: str) -> np.uint64:
 class Fingerprint:
     """Rolling-hash document fingerprint: FNV-1a over each k-token window,
     fingerprint = min window hash (winnowing degenerate w=all). Stable
-    across runs; collisions negligible at 64 bits for dedup screening."""
+    across runs; collisions negligible at 64 bits for dedup screening.
+
+    Vectorized: every window " ".join(toks[i:i+k]) is a byte SLICE of the
+    space-joined token stream, so all window hashes advance together —
+    the inner loop runs max-window-BYTE-length times over all windows at
+    once, byte-identical to the per-window Python loop it replaces."""
 
     def __init__(self, k: int = 3):
         self.k = k
@@ -151,11 +156,18 @@ class Fingerprint:
         toks = self.token.findall(text)
         if len(toks) < self.k:
             return int(_fnv1a_bytes(" ".join(toks)))
-        hs = [
-            int(_fnv1a_bytes(" ".join(toks[i : i + self.k])))
-            for i in range(len(toks) - self.k + 1)
-        ]
-        return min(hs)
+        arr = np.frombuffer(" ".join(toks).encode("utf-8"), np.uint8)
+        sep = np.flatnonzero(arr == 32)
+        starts = np.r_[0, sep + 1]
+        ends = np.r_[sep, len(arr)]
+        m = len(toks) - self.k + 1
+        ws = starts[:m]
+        wl = ends[self.k - 1 :] - ws
+        h = np.full(m, _FP_OFF)
+        for j in range(int(wl.max())):
+            active = wl > j
+            h[active] = (h[active] ^ arr[ws[active] + j].astype(np.uint64)) * _FP_BASE
+        return int(h.min())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -1,0 +1,64 @@
+"""Loader with the reference's option-suffix URI syntax.
+
+Reference: python/graphscope/framework/loader.py:94-211 — a location
+string may carry `#key=value` suffixes (`header_row`, `delimiter`), e.g.
+``/data/edges.csv#header_row=true#delimiter=|``; protocol prefixes
+(file://, s3:// etc.) pass through to the underlying reader. Format is
+chosen by extension: .csv (pyarrow CSV options honored), .parquet,
+.json/.jsonl. Without a header row, columns are named f0..fn (the
+reference's positional addressing)."""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+
+def parse_location(uri: str) -> tuple[str, dict]:
+    parts = uri.split("#")
+    path = parts[0]
+    opts: dict[str, str] = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            opts[k.strip()] = v.strip()
+    return path, opts
+
+
+def _bool(v: str, default: bool) -> bool:
+    if v is None:
+        return default
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
+    """Read a table from an option-suffixed location string."""
+    path, opts = parse_location(uri)
+    lower = path.lower()
+    if lower.endswith(".parquet") or lower.endswith(".pq"):
+        return rd.read_parquet(path, columns=columns)
+    if lower.endswith(".json") or lower.endswith(".jsonl"):
+        ds = rd.read_json(path)
+        return ds.select_columns(columns) if columns else ds
+    if lower.endswith(".csv") or lower.endswith(".tsv") or lower.endswith(".txt"):
+        from pyarrow import csv as pacsv
+
+        delim = opts.get("delimiter", "\t" if lower.endswith(".tsv") else ",")
+        if delim in ("\\t", "t"):  # loader.py accepts escaped tab
+            delim = "\t"
+        header = _bool(opts.get("header_row"), True)
+        parse_options = pacsv.ParseOptions(delimiter=delim)
+        if header:
+            read_options = pacsv.ReadOptions()
+        else:
+            # column names f0..fn, probed from the first line
+            with open(path, "rb") as f:
+                first = f.readline().decode("utf-8", "replace").rstrip("\r\n")
+            ncol = len(first.split(delim))
+            read_options = pacsv.ReadOptions(
+                column_names=[f"f{i}" for i in range(ncol)]
+            )
+        ds = rd.read_csv(
+            path, parse_options=parse_options, read_options=read_options
+        )
+        return ds.select_columns(columns) if columns else ds
+    raise ValueError(f"unsupported location: {uri}")

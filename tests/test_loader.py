@@ -1,0 +1,44 @@
+"""Option-suffix loader parity (loader.py:94-211 URI syntax)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from raylinkgraph.sources.loader import load_table, parse_location
+
+
+def test_parse_location():
+    path, opts = parse_location("/x/y.csv#header_row=false#delimiter=|")
+    assert path == "/x/y.csv"
+    assert opts == {"header_row": "false", "delimiter": "|"}
+
+
+def test_csv_with_header_and_delimiter(ray_session, tmp_root):
+    p = os.path.join(tmp_root, "t1.csv")
+    with open(p, "w") as f:
+        f.write("id|name|v\n1|a|1.5\n2|b|2.5\n")
+    df = load_table(p + "#delimiter=|").to_pandas()
+    assert list(df.columns) == ["id", "name", "v"]
+    assert df["v"].sum() == 4.0
+
+
+def test_csv_headerless(ray_session, tmp_root):
+    p = os.path.join(tmp_root, "t2.csv")
+    with open(p, "w") as f:
+        f.write("1,a\n2,b\n3,c\n")
+    df = load_table(p + "#header_row=false").to_pandas()
+    assert list(df.columns) == ["f0", "f1"]
+    assert df["f0"].tolist() == [1, 2, 3]
+
+
+def test_json_and_parquet(ray_session, tmp_root):
+    pq_path = os.path.join(tmp_root, "t3.parquet")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(pq_path)
+    df = load_table(pq_path, columns=["a"]).to_pandas()
+    assert list(df.columns) == ["a"]
+    j = os.path.join(tmp_root, "t4.json")
+    with open(j, "w") as f:
+        f.write('{"a": 1}\n{"a": 2}\n')
+    dj = load_table(j).to_pandas()
+    assert dj["a"].tolist() == [1, 2]
