@@ -142,9 +142,18 @@ class _Worker:
             self._sent_pos = True
         return packed
 
+    def confirm_flush(self) -> bool:
+        """Barrier for the async checkpoint writer (see apply)."""
+        t = getattr(self, "_flush", None)
+        if t is not None:
+            t.join()
+            self._flush = None
+        return True
+
     def apply(self, scalars: dict, workdir: str, next_step: int,
               checkpoint: bool, *scatter_outs) -> dict:
         merged: dict[str, float] = {}
+        self.confirm_flush()  # never two in-flight flushes per worker
         for pid, p in self.parts.items():
             chunks: list[tuple[np.ndarray, dict]] = []
             for si, so in enumerate(scatter_outs):
@@ -178,10 +187,28 @@ class _Worker:
                 p.state, partials = self.algo.apply(
                     p.oids, p.deg, p.state, msgs, scalars
                 )
-            if checkpoint:
-                self._write_ckpt(workdir, next_step, pid)
             for k, v in partials.items():
                 merged[k] = merged.get(k, 0.0) + float(v)
+        if checkpoint:
+            # flush asynchronously: the parquet write overlaps the NEXT
+            # round's scatter compute (supersteps replace state arrays, so
+            # the writer's references stay immutable); the driver calls
+            # confirm_flush() before committing the step's lineage, which
+            # preserves crash consistency (lineage only after durable state)
+            import threading
+
+            states = {pid: dict(p.state) for pid, p in self.parts.items()}
+
+            def flush():
+                for pid, st in states.items():
+                    p = self.parts[pid]
+                    cols = {"oid": pa.array(p.oids, pa.int64())}
+                    for k, t in self.state_dtypes.items():
+                        cols[k] = pa.array(st[k], t)
+                    ckpt.write_state(workdir, next_step, pid, pa.table(cols))
+
+            self._flush = threading.Thread(target=flush, daemon=True)
+            self._flush.start()
         return merged
 
 
@@ -247,12 +274,31 @@ def run_bsp_actors(
     converged = algo.converged(scalars, rounds_done)
     loop_t0 = time.time()
     round_secs: list[float] = []
+    # lineage commit for step N is deferred until step N+1's scatter is in
+    # flight: the workers' async parquet flush overlaps the next round's
+    # compute, and the commit (flush barrier + lineage write) happens off
+    # the critical path. Crash consistency holds: a lineage file is only
+    # ever written after its step's state files are durable.
+    pending: tuple[int, list, dict] | None = None
+
+    def commit(p):
+        step_p, refs_p, scal_p = p
+        ray.get(refs_p)
+        ckpt.write_lineage(
+            workdir, step_p,
+            ckpt.lineage_for(algo.name, params, digest, P, step_p, scal_p),
+        )
+        ckpt.prune_steps(workdir, keep_from=max(0, step_p - keep_steps + 1))
+
     while not converged and rounds_done < max_rounds:
         rt0 = time.time()
         nxt = rounds_done + 1
         do_ckpt = (nxt % checkpoint_every == 0) or nxt >= max_rounds
         rscal = {**scalars, "_round": float(rounds_done)}
         scatter_refs = [w.scatter.remote(rscal) for w in workers]
+        if pending is not None:
+            commit(pending)
+            pending = None
         partials = ray.get(
             [
                 w.apply.remote(rscal, workdir, nxt, do_ckpt, *scatter_refs)
@@ -267,14 +313,16 @@ def run_bsp_actors(
             ray.get([w.write_ckpt.remote(workdir, nxt) for w in workers])
             do_ckpt = True
         if do_ckpt:
-            ckpt.write_lineage(
-                workdir, nxt,
-                ckpt.lineage_for(algo.name, params, digest, P, nxt, scalars),
+            pending = (
+                nxt,
+                [w.confirm_flush.remote() for w in workers],
+                dict(scalars),
             )
-            ckpt.prune_steps(workdir, keep_from=max(0, nxt - keep_steps + 1))
         history.append(scalars)
         round_secs.append(time.time() - rt0)
 
+    if pending is not None:
+        commit(pending)
     iterate_sec = time.time() - loop_t0
     for w in workers:
         ray.kill(w)
