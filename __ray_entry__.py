@@ -622,6 +622,79 @@ def q_graph_scc(sf_dir):
     return df.sort_values("oid").reset_index(drop=True)
 
 
+APSP_SRC = 64
+
+
+def q_graph_apsp(sf_dir):
+    """all_pairs_shortest_path_length (apsp, yaml:220) bounded to a
+    deterministic source sample (64 smallest ids) on the induced pps
+    subgraph — the full all-pairs product is O(V^2) rows by definition;
+    the source-bounded shape is what survives at scale. Two 32-wide
+    multi-source BFS waves (BrandesForward's dist columns), melted to
+    (src, oid, dist) pairs."""
+    from raylinkgraph.algos.brandes import UNREACHED, BrandesForward
+    from raylinkgraph.algos.centrality import smallest_oids
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    srcs = smallest_oids(g, APSP_SRC)
+    frames = []
+    for w, lo in enumerate(range(0, len(srcs), 32)):
+        wave = [int(s) for s in srcs[lo : lo + 32]]
+        res = run_bsp(
+            g, BrandesForward(wave),
+            workdir_for(sf_dir, f"apsp-w{w}"), max_rounds=10_000,
+        )
+        st = res.state_pandas()
+        for i, s in enumerate(sorted(wave)):
+            d = st[f"dist_{i}"].to_numpy(np.int64)
+            fin = d != UNREACHED
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": np.full(int(fin.sum()), s, np.int64),
+                        "oid": st["oid"].to_numpy(np.int64)[fin],
+                        "dist": d[fin],
+                    }
+                )
+            )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["src", "oid"]).reset_index(drop=True)
+
+
+def q_graph_mis(sf_dir):
+    """Maximal independent set by deterministic Luby rounds (flash_mis,
+    yaml:370-443); priorities are pure integer arithmetic so the SQL
+    oracle replays the exact same selection sequence."""
+    from raylinkgraph.algos.mis import IN_MIS, MIS
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    res = run_bsp(g, MIS(), workdir_for(sf_dir, "mis"), max_rounds=200)
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "in_mis": (df["status"].to_numpy(np.int64) == IN_MIS).astype(np.int64),
+        }
+    )
+
+
+VOTERANK_SEEDS = 5
+
+
+def q_graph_voterank(sf_dir):
+    """VoteRank seed selection (yaml:299) with the pinned integer-unit
+    voting spec — 5 elections on the pp graph."""
+    from raylinkgraph.algos.voterank import run_voterank
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    return run_voterank(g, workdir_for(sf_dir, "voterank"), n_seeds=VOTERANK_SEEDS)
+
+
 def q_rel_orders_by_status(sf_dir):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -949,6 +1022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_attr_assortativity": q_graph_attr_assortativity,
         "graph_boundary": q_graph_boundary,
         "graph_diameter": q_graph_diameter,
+        "graph_mis": q_graph_mis,
+        "graph_apsp": q_graph_apsp,
+        "graph_voterank": q_graph_voterank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -1516,6 +1592,102 @@ SELECT (SELECT s FROM src1) AS source, (SELECT v FROM far) AS far_vertex,
     )
 
 
+_PPS_EDGES = f"SELECT u, v FROM ({_PP_EDGES}) WHERE u < 500 AND v < 500"
+
+
+def _apsp_sql(rounds: int, n_src: int) -> str:
+    ctes = _msbfs_ctes(rounds, n_src, edges_sql=_PPS_EDGES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s AS src, v AS oid, CAST(dist AS BIGINT) AS dist "
+        f"FROM p{rounds} ORDER BY src, oid"
+    )
+
+
+def _mis_sql(luby_rounds: int) -> str:
+    """Unrolled deterministic Luby MIS — replays the engine's integer
+    priority sequence exactly."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "ms0 AS MATERIALIZED (SELECT v, 0 AS st FROM mverts)",
+    ]
+    for l in range(luby_rounds):
+        ctes.append(
+            f"mk{l} AS MATERIALIZED (SELECT v, "
+            f"((v * 1103515245 + 12345 + {l} * 2654435761) % 2147483647) "
+            f"* 16777216 + (v % 16777216) AS k FROM mverts)"
+        )
+        ctes.append(
+            f"nbrmax{l} AS MATERIALIZED (SELECT e.s AS v, MAX(k2.k) AS mk "
+            f"FROM uedges e JOIN ms{l} s2 ON s2.v = e.d AND s2.st = 0 "
+            f"JOIN mk{l} k2 ON k2.v = e.d GROUP BY e.s)"
+        )
+        ctes.append(
+            f"sel{l} AS MATERIALIZED (SELECT s.v FROM ms{l} s "
+            f"JOIN mk{l} k ON k.v = s.v "
+            f"LEFT JOIN nbrmax{l} nm ON nm.v = s.v "
+            f"WHERE s.st = 0 AND k.k > COALESCE(nm.mk, -1))"
+        )
+        ctes.append(
+            f"excl{l} AS MATERIALIZED (SELECT DISTINCT e.d AS v FROM uedges e "
+            f"JOIN sel{l} x ON x.v = e.s)"
+        )
+        ctes.append(
+            f"ms{l+1} AS MATERIALIZED (SELECT s.v, CASE "
+            f"WHEN s.st <> 0 THEN s.st "
+            f"WHEN sel.v IS NOT NULL THEN 1 "
+            f"WHEN ex.v IS NOT NULL THEN 2 ELSE 0 END AS st "
+            f"FROM ms{l} s LEFT JOIN sel{l} sel ON sel.v = s.v "
+            f"LEFT JOIN excl{l} ex ON ex.v = s.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(CASE WHEN st = 1 THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS in_mis FROM ms{luby_rounds} ORDER BY oid"
+    )
+
+
+def _voterank_sql(n_seeds: int) -> str:
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "vverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "vdec AS MATERIALIZED (SELECT (1048576 * (SELECT COUNT(*) FROM vverts)) "
+        "// (SELECT COUNT(*) FROM uedges) AS d)",
+        "va0 AS MATERIALIZED (SELECT v, CAST(1048576 AS BIGINT) AS a, 0 AS el FROM vverts)",
+    ]
+    for e in range(n_seeds):
+        ctes.append(
+            f"vsc{e} AS MATERIALIZED (SELECT e.s AS v, SUM(a.a) AS s "
+            f"FROM uedges e JOIN va{e} a ON a.v = e.d GROUP BY e.s)"
+        )
+        ctes.append(
+            f"vwin{e} AS MATERIALIZED (SELECT sc.v, sc.s FROM vsc{e} sc "
+            f"JOIN va{e} a ON a.v = sc.v WHERE a.el = 0 "
+            f"ORDER BY sc.s DESC, sc.v ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"vnb{e} AS MATERIALIZED (SELECT DISTINCT e.d AS v FROM uedges e "
+            f"WHERE e.s = (SELECT v FROM vwin{e}))"
+        )
+        ctes.append(
+            f"va{e+1} AS MATERIALIZED (SELECT a.v, CASE "
+            f"WHEN a.v = (SELECT v FROM vwin{e}) THEN 0 "
+            f"WHEN nb.v IS NOT NULL THEN GREATEST(a.a - (SELECT d FROM vdec), 0) "
+            f"ELSE a.a END AS a, "
+            f"CASE WHEN a.v = (SELECT v FROM vwin{e}) THEN 1 ELSE a.el END AS el "
+            f"FROM va{e} a LEFT JOIN vnb{e} nb ON nb.v = a.v)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({e+1} AS BIGINT) AS rank, v AS oid, "
+        f"CAST(s AS BIGINT) AS score FROM vwin{e}"
+        for e in range(n_seeds)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+
 def _degree_centrality_sql() -> str:
     return f"""
 WITH edges AS MATERIALIZED ({_EDGES}),
@@ -1622,11 +1794,11 @@ def _scc_sql(phases: int, rounds: int) -> str:
     )
 
 
-def _msbfs_ctes(rounds: int, n_src: int) -> list[str]:
+def _msbfs_ctes(rounds: int, n_src: int, edges_sql: str | None = None) -> list[str]:
     """(source, vertex, dist) pairs by unrolled multi-source BFS on the
     undirected pp graph; sources = the n_src smallest vertex ids."""
     ctes = [
-        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"pedges AS MATERIALIZED ({edges_sql or _PP_EDGES})",
         "uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
         "UNION SELECT v, u FROM pedges)",
         "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
@@ -1835,6 +2007,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_attr_assortativity": _attr_assort_sql(),
         "graph_boundary": _boundary_sql(),
         "graph_diameter": _diameter_sql(10),
+        "graph_mis": _mis_sql(10),
+        "graph_apsp": _apsp_sql(12, APSP_SRC),
+        "graph_voterank": _voterank_sql(VOTERANK_SEEDS),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

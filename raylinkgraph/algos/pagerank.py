@@ -28,6 +28,18 @@ class PageRank(Superstep):
     msg_dtypes = {"val": pa.float64()}
     static_messages = True
     scalar_names = ["dangling", "l1", "rank_sum"]
+    # per-superstep checkpoint = the rank vector alone: share is
+    # rank/out_deg (rehydrate) and oids come from vertexstate order —
+    # 3x less checkpoint IO on the superstep critical path
+    ckpt_exclude = ["share"]
+    ckpt_implicit_oid = True
+
+    def rehydrate(self, state, oids, out_deg):
+        rank = state["rank"]
+        state["share"] = np.divide(
+            rank, out_deg, out=np.zeros(len(rank)), where=out_deg > 0
+        )
+        return state
 
     def __init__(self, n_vertices: int, alpha: float = 0.85, tol: float = 1e-6,
                  max_rounds: int = 100, msg_dtype: str = "f8"):

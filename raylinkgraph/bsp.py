@@ -62,6 +62,17 @@ class Superstep:
     #: positions once and only stream payload values afterwards — the
     #: analogue of the reference's fixed preallocated message channels
     static_messages: bool = False
+    #: state columns DERIVED from the others: omitted from checkpoint
+    #: files (rehydrate() reconstructs them on load) — cuts superstep
+    #: checkpoint IO, the dominant cost of short rounds at high W
+    ckpt_exclude: list[str] = []
+    #: omit the oid column too (reconstructed from the graph's
+    #: vertexstate files, which share the per-partition sort order)
+    ckpt_implicit_oid: bool = False
+
+    def rehydrate(self, state: dict, oids, out_deg) -> dict:
+        """Reconstruct ckpt_exclude columns after loading a checkpoint."""
+        return state
 
     def params(self) -> dict:
         return {}
@@ -93,12 +104,34 @@ class BSPResult:
     history: list = field(default_factory=list)
     iterate_sec: float = 0.0  # wall-clock of the superstep loop only
     round_secs: list = field(default_factory=list)  # per-superstep wall
+    graph_dir: str | None = None  # for oid hydration of reduced checkpoints
 
     def state_ds(self) -> rd.Dataset:
         return rd.read_parquet(ckpt.step_dir(self.workdir, self.final_step))
 
     def state_pandas(self) -> pd.DataFrame:
-        return self.state_ds().to_pandas().sort_values("oid").reset_index(drop=True)
+        sd = ckpt.step_dir(self.workdir, self.final_step)
+        frames = []
+        for f in sorted(os.listdir(sd)):
+            if not (f.startswith("state-") and f.endswith(".parquet")):
+                continue
+            df = pq.read_table(os.path.join(sd, f)).to_pandas()
+            if "oid" not in df.columns:
+                # reduced checkpoint (ckpt_implicit_oid): rows are aligned
+                # with the partition's sorted vertexstate oids
+                pid = int(f[6:11])
+                vs = pq.read_table(
+                    os.path.join(self.graph_dir, "vertexstate",
+                                 f"vertexstate-{pid:05d}.parquet"),
+                    columns=["oid"],
+                )
+                df.insert(0, "oid", vs.column("oid").to_numpy(zero_copy_only=False))
+            frames.append(df)
+        return (
+            pd.concat(frames, ignore_index=True)
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
 
 
 def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -172,7 +205,7 @@ def run_bsp(
         # ``_round`` = completed rounds so far: level-indexed algorithms
         # (MSBFS, Brandes) read it instead of shipping a counter scalar
         rscal = {**scalars, "_round": float(cur)}
-        scatter_fn = _make_scatter(algo, workdir, cur, rscal)
+        scatter_fn = _make_scatter(algo, workdir, cur, rscal, graph_dir)
         apply_fn = _make_apply(algo, graph_dir, workdir, cur, nxt, rscal, scalar_names)
         markers = rd.range(P, override_num_blocks=max(1, P // 8)).map_batches(
             _make_markers(msg_schema), batch_format="pyarrow"
@@ -203,6 +236,7 @@ def run_bsp(
         history=history,
         iterate_sec=time.time() - loop_t0,
         round_secs=round_secs,
+        graph_dir=graph_dir,
     )
 
 
@@ -255,7 +289,24 @@ def _make_markers(msg_schema: pa.Schema):
     return markers
 
 
-def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
+def _load_hydrated(algo: Superstep, workdir: str, step: int, pid: int,
+                   graph_dir: str) -> dict:
+    """Load a REDUCED checkpoint (ckpt_exclude / implicit oid, written by
+    the resident engine): read the columns present, reconstruct the rest
+    via algo.rehydrate against the partition's vertexstate."""
+    path = ckpt.state_path(workdir, step, pid)
+    avail = set(pq.read_schema(path).names)
+    cols = [c for c in algo.state_dtypes if c in avail]
+    t = pq.read_table(path, columns=cols)
+    state = {c: _np(t.column(c)) for c in cols}
+    vs = pq.read_table(
+        os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
+    )
+    return algo.rehydrate(state, _np(vs.column("oid")), _np(vs.column("out_deg")))
+
+
+def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict,
+                  graph_dir: str):
     msg_schema = _msg_schema(algo)
     scatter_cols = list(algo.scatter_columns)
     payload_names = list(algo.msg_dtypes.keys())
@@ -279,8 +330,12 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict):
             pid = int(pid)
             st = state_cache.get(pid)
             if st is None:
-                t = ckpt.read_state(workdir, step, pid, columns=scatter_cols)
-                st = {c: _np(t.column(c)) for c in scatter_cols}
+                try:
+                    t = ckpt.read_state(workdir, step, pid, columns=scatter_cols)
+                    st = {c: _np(t.column(c)) for c in scatter_cols}
+                except Exception:  # reduced checkpoint: hydrate
+                    full = _load_hydrated(algo, workdir, step, pid, graph_dir)
+                    st = {c: full[c] for c in scatter_cols}
                 state_cache[pid] = st
             block = {
                 "pid": pid,
@@ -336,7 +391,14 @@ def _make_apply(
         oids = _np(vs.column("oid"))
         deg = _np(vs.column("out_deg"))
         old_t = ckpt.read_state(workdir, step, pid)
-        old = {c: _np(old_t.column(c)) for c in state_names}
+        if all(c in old_t.column_names for c in state_names):
+            old = {c: _np(old_t.column(c)) for c in state_names}
+        else:  # reduced checkpoint: hydrate the derived columns
+            old = algo.rehydrate(
+                {c: _np(old_t.column(c)) for c in state_names
+                 if c in old_t.column_names},
+                oids, deg,
+            )
         new_state, partials = algo.apply(oids, deg, old, msgs, scalars)
         cols = {"oid": pa.array(oids, pa.int64())}
         for k, t in algo.state_dtypes.items():

@@ -102,14 +102,31 @@ class _Worker:
     def load_state(self, workdir: str, step: int) -> None:
         for pid, p in self.parts.items():
             t = ckpt.read_state(workdir, step, pid)
-            p.state = {k: _np(t.column(k)) for k in self.state_dtypes}
+            p.state = {
+                k: _np(t.column(k)) for k in self.state_dtypes
+                if k in t.column_names
+            }
+            if len(p.state) != len(self.state_dtypes):
+                p.state = self.algo.rehydrate(p.state, p.oids, p.deg)
+
+    def _ckpt_table(self, pid: int, state: dict) -> pa.Table:
+        """Checkpoint columns only: ckpt_exclude'd derived columns and
+        (optionally) the oid column are reconstructed on load instead of
+        hitting disk every superstep."""
+        p = self.parts[pid]
+        skip = set(getattr(self.algo, "ckpt_exclude", ()))
+        cols = {}
+        if not getattr(self.algo, "ckpt_implicit_oid", False):
+            cols["oid"] = pa.array(p.oids, pa.int64())
+        for k, t in self.state_dtypes.items():
+            if k not in skip:
+                cols[k] = pa.array(state[k], t)
+        return pa.table(cols)
 
     def _write_ckpt(self, workdir: str, step: int, pid: int) -> None:
-        p = self.parts[pid]
-        cols = {"oid": pa.array(p.oids, pa.int64())}
-        for k, t in self.state_dtypes.items():
-            cols[k] = pa.array(p.state[k], t)
-        ckpt.write_state(workdir, step, pid, pa.table(cols))
+        ckpt.write_state(
+            workdir, step, pid, self._ckpt_table(pid, self.parts[pid].state)
+        )
 
     def write_ckpt(self, workdir: str, step: int) -> None:
         for pid in self.pids:
@@ -197,15 +214,14 @@ class _Worker:
             # preserves crash consistency (lineage only after durable state)
             import threading
 
-            states = {pid: dict(p.state) for pid, p in self.parts.items()}
+            tables = {
+                pid: self._ckpt_table(pid, p.state)
+                for pid, p in self.parts.items()
+            }
 
             def flush():
-                for pid, st in states.items():
-                    p = self.parts[pid]
-                    cols = {"oid": pa.array(p.oids, pa.int64())}
-                    for k, t in self.state_dtypes.items():
-                        cols[k] = pa.array(st[k], t)
-                    ckpt.write_state(workdir, next_step, pid, pa.table(cols))
+                for pid, t in tables.items():
+                    ckpt.write_state(workdir, next_step, pid, t)
 
             self._flush = threading.Thread(target=flush, daemon=True)
             self._flush.start()
@@ -335,4 +351,5 @@ def run_bsp_actors(
         history=history,
         iterate_sec=iterate_sec,
         round_secs=round_secs,
+        graph_dir=graph.graph_dir,
     )
