@@ -367,6 +367,17 @@ def q_graph_corenum(sf_dir):
     return df.sort_values("oid").reset_index(drop=True)
 
 
+def q_graph_degeneracy(sf_dir):
+    """flash_degeneracy (yaml:335-366): degeneracy = max core number;
+    reuses the corenum checkpoints (the peel resumes instantly)."""
+    from raylinkgraph.algos.kshell import run_core_number
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    df = run_core_number(g, workdir_for(sf_dir, "corenum"), engine="actors")
+    return pd.DataFrame({"degeneracy": np.array([df["core"].max()], np.int64)})
+
+
 def q_graph_articlerank(sf_dir):
     """ArticleRank (flash_articlerank, yaml:314): PageRank with the
     out-degree denominator shifted by the mean degree, no dangling
@@ -1014,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lpa_u2i": q_graph_lpa_u2i,
         "graph_louvain": q_graph_louvain,
         "graph_corenum": q_graph_corenum,
+        "graph_degeneracy": q_graph_degeneracy,
         "graph_articlerank": q_graph_articlerank,
         "graph_ppr": q_graph_ppr,
         "graph_eigenvector": q_graph_eigenvector,
@@ -1402,6 +1414,11 @@ def _corenum_sql(rounds: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, c AS core FROM c{rounds} ORDER BY oid"
     )
+
+
+def _degeneracy_sql(rounds: int) -> str:
+    ctes = _corenum_sql(rounds).split("\nSELECT", 1)[0]
+    return ctes + f"\nSELECT MAX(c) AS degeneracy FROM c{rounds}"
 
 
 def _articlerank_sql(rounds: int, alpha: float) -> str:
@@ -1999,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": _scc_sql(4, 12),
         "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
         "graph_corenum": _corenum_sql(30),
+        "graph_degeneracy": _degeneracy_sql(30),
         "graph_articlerank": _articlerank_sql(AR_ROUNDS, ALPHA),
         "graph_ppr": _ppr_sql(PPR_ROUNDS, ALPHA),
         "graph_eigenvector": _eigenvector_sql(EV_ROUNDS),

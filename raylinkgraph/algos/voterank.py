@@ -50,17 +50,12 @@ def run_voterank(graph, workdir: str, n_seeds: int = 5) -> pd.DataFrame:
         os.path.join(workdir, "edges"),
     )
 
-    def init_state(b: pd.DataFrame) -> pd.DataFrame:
-        v = np.unique(b["src"].to_numpy(np.int64))
-        return pd.DataFrame(
-            {"v": v, "a": np.full(len(v), float(D_UNITS)),
-             "elected": np.zeros(len(v))}
-        )
-
     state = _persist(
-        _sum_by(edges, "src", "src", "x", B).map_batches(
+        rd.read_parquet(
+            os.path.join(graph.graph_dir, "vertexstate"), columns=["oid"]
+        ).map_batches(
             lambda b: pd.DataFrame(
-                {"v": b["src"].to_numpy(np.int64),
+                {"v": b["oid"].to_numpy(np.int64),
                  "a": np.full(len(b), float(D_UNITS)),
                  "elected": np.zeros(len(b))}
             ),
