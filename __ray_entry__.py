@@ -706,6 +706,27 @@ def q_graph_voterank(sf_dir):
     return run_voterank(g, workdir_for(sf_dir, "voterank"), n_seeds=VOTERANK_SEEDS)
 
 
+def q_graph_matching(sf_dir):
+    """Maximal matching by deterministic handshake rounds (flash_mm,
+    yaml:370-443): unmatched vertices propose to their smallest unmatched
+    neighbor, mutual proposals match."""
+    from raylinkgraph.algos.matching import MaximalMatching
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    from raylinkgraph.bsp_actors import run_bsp_actors
+
+    g = get_graph(sf_dir, "pp")
+    # ~90 short supersteps: the resident engine's ms barrier wins
+    res = run_bsp_actors(
+        g, MaximalMatching(), workdir_for(sf_dir, "mm"), max_rounds=600
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"].to_numpy(np.int64), "mate": df["mate"].to_numpy(np.int64)}
+    )
+
+
 def q_rel_orders_by_status(sf_dir):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1037,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mis": q_graph_mis,
         "graph_apsp": q_graph_apsp,
         "graph_voterank": q_graph_voterank,
+        "graph_matching": q_graph_matching,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -1666,6 +1688,50 @@ def _mis_sql(luby_rounds: int) -> str:
     )
 
 
+def _matching_sql(rounds: int) -> str:
+    """Unrolled deterministic proposer/acceptor handshake matching —
+    replays the engine's round-salted role split exactly; extra rounds
+    past the engine's maximality fixpoint are no-ops."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "hverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "hm0 AS MATERIALIZED (SELECT v, CAST(-1 AS BIGINT) AS mate FROM hverts)",
+    ]
+    for h in range(rounds):
+        ctes.append(
+            f"hr{h} AS MATERIALIZED (SELECT v, "
+            f"((v * 1103515245 + 12345 + {h} * 2654435761) % 2147483647) % 2 "
+            f"AS role FROM hverts)"
+        )
+        ctes.append(
+            # unmatched acceptors choose their min unmatched proposer nbr
+            f"hch{h} AS MATERIALIZED (SELECT e.s AS v, MIN(e.d) AS c "
+            f"FROM uedges e "
+            f"JOIN hm{h} a ON a.v = e.s AND a.mate = -1 "
+            f"JOIN hr{h} ra ON ra.v = e.s AND ra.role = 1 "
+            f"JOIN hm{h} b ON b.v = e.d AND b.mate = -1 "
+            f"JOIN hr{h} rb ON rb.v = e.d AND rb.role = 0 GROUP BY e.s)"
+        )
+        ctes.append(
+            # each chosen proposer matches its min chooser
+            f"hpm{h} AS MATERIALIZED (SELECT hh.c AS v, MIN(hh.v) AS m "
+            f"FROM hch{h} hh GROUP BY hh.c)"
+        )
+        ctes.append(
+            f"hm{h+1} AS MATERIALIZED (SELECT a.v, CASE "
+            f"WHEN a.mate <> -1 THEN a.mate "
+            f"WHEN p.m IS NOT NULL THEN p.m "
+            f"WHEN q.u IS NOT NULL THEN q.u ELSE -1 END AS mate "
+            f"FROM hm{h} a LEFT JOIN hpm{h} p ON p.v = a.v "
+            f"LEFT JOIN (SELECT m AS v, v AS u FROM hpm{h}) q ON q.v = a.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, mate FROM hm{rounds} ORDER BY oid"
+    )
+
+
 def _voterank_sql(n_seeds: int) -> str:
     ctes = [
         f"pedges AS MATERIALIZED ({_PP_EDGES})",
@@ -2028,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_sql(10),
         "graph_apsp": _apsp_sql(12, APSP_SRC),
         "graph_voterank": _voterank_sql(VOTERANK_SEEDS),
+        "graph_matching": _matching_sql(60),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

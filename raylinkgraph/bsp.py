@@ -319,6 +319,7 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict,
         src_code = _list_np(batch.column("src_code"), np.int32)
         dst_ptr = _list_np(batch.column("dst_ptr"), np.int64)
         dst_code = _list_np(batch.column("dst_code"), np.int32)
+        udst = _list_np(batch.column("udst"), np.int64)
         udst_pos = _list_np(batch.column("udst_pos"), np.int32)
         tgt_ptr = _list_np(batch.column("tgt_ptr"), np.int64)
         weight = (
@@ -343,6 +344,7 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict,
                 "src_code": src_code[i],
                 "dst_ptr": dst_ptr[i],
                 "dst_code": dst_code[i],
+                "udst": udst[i],
                 "udst_pos": udst_pos[i],
                 "tgt_ptr": tgt_ptr[i],
             }

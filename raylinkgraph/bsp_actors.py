@@ -62,6 +62,7 @@ class _Partition:
                 "src_code": _np(t.column("src_code")[i].values),
                 "dst_ptr": _np(t.column("dst_ptr")[i].values),
                 "dst_code": _np(t.column("dst_code")[i].values),
+                "udst": _np(t.column("udst")[i].values),
                 "udst_pos": _np(t.column("udst_pos")[i].values),
                 "tgt_ptr": _np(t.column("tgt_ptr")[i].values),
             }
