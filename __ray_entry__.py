@@ -364,7 +364,20 @@ def q_graph_corenum(sf_dir):
     # peeling runs O(peel-depth + k_max) short rounds: the resident-actor
     # engine's ~ms barrier beats the Dataset engine's per-round latency
     df = run_core_number(g, workdir_for(sf_dir, "corenum"), engine="actors")
-    return df.sort_values("oid").reset_index(drop=True)
+    return df[["oid", "core"]].sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_onion(sf_dir):
+    """Onion layers (flash_onion, yaml:335-366): the peel round at which
+    each vertex is removed by the one-pass core decomposition — a pinned
+    deterministic spec; rows-only (the adaptive threshold schedule is not
+    unrollable in fixed SQL), replay-checked in pytest."""
+    from raylinkgraph.algos.kshell import run_core_number
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    df = run_core_number(g, workdir_for(sf_dir, "corenum"), engine="actors")
+    return df[["oid", "layer"]].sort_values("oid").reset_index(drop=True)
 
 
 def q_graph_degeneracy(sf_dir):
@@ -704,6 +717,44 @@ def q_graph_voterank(sf_dir):
 
     g = get_graph(sf_dir, "pp")
     return run_voterank(g, workdir_for(sf_dir, "voterank"), n_seeds=VOTERANK_SEEDS)
+
+
+PATHS_N = 50
+PATHS_HOPS = 3
+
+
+def q_graph_dfs(sf_dir):
+    """DFS preorder (apps/dfs/dfs.h:30) from the min-id vertex of the
+    induced pps subgraph; rows-only (sequence order is not ANSI-SQL
+    expressible without recursion) — exactness pinned by the networkx
+    pytest oracle."""
+    from raylinkgraph.algos.centrality import smallest_oids
+    from raylinkgraph.algos.dfs import dfs_preorder
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pps")
+    src = int(smallest_oids(g, 1)[0])
+    return dfs_preorder(g, src)
+
+
+def q_graph_paths(sf_dir):
+    """sampling_path (sampling_path.h:27 shape): deterministic greedy
+    min-neighbor walks from the 50 smallest vertices, 3 hops."""
+    from raylinkgraph.algos.dfs import sample_paths
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    return sample_paths(g, PATHS_N, PATHS_HOPS)
+
+
+def q_graph_rectangles(sf_dir):
+    """4-cycle count (flash_rectangle, yaml:489-569) on the induced pps
+    subgraph: rect = (1/2) sum_{u<w} C(codeg(u,w), 2)."""
+    from raylinkgraph.algos.motifs import rectangle_count
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pps")
+    return pd.DataFrame({"rectangles": np.array([rectangle_count(g)], np.int64)})
 
 
 def q_graph_matching(sf_dir):
@@ -1047,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_louvain": q_graph_louvain,
         "graph_corenum": q_graph_corenum,
         "graph_degeneracy": q_graph_degeneracy,
+        "graph_onion": q_graph_onion,
         "graph_articlerank": q_graph_articlerank,
         "graph_ppr": q_graph_ppr,
         "graph_eigenvector": q_graph_eigenvector,
@@ -1059,6 +1111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_apsp": q_graph_apsp,
         "graph_voterank": q_graph_voterank,
         "graph_matching": q_graph_matching,
+        "graph_rectangles": q_graph_rectangles,
+        "graph_dfs": q_graph_dfs,
+        "graph_paths": q_graph_paths,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -1688,6 +1743,44 @@ def _mis_sql(luby_rounds: int) -> str:
     )
 
 
+def _paths_sql(n_paths: int, hops: int) -> str:
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "pverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        f"w0 AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 "
+        f"AS path_id, CAST(-1 AS BIGINT) AS prev FROM "
+        f"(SELECT v FROM pverts ORDER BY v LIMIT {n_paths}))",
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT w.path_id, MIN(e.d) AS v, w.v AS prev "
+            f"FROM w{k-1} w JOIN uedges e ON e.s = w.v AND e.d <> w.prev "
+            f"GROUP BY w.path_id, w.v)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT path_id, CAST({k} AS BIGINT) AS step, v AS oid FROM w{k}"
+        for k in range(hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({sel}) ORDER BY path_id, step"
+    )
+
+
+def _rectangles_sql() -> str:
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES}),
+uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges UNION SELECT v, u FROM pedges),
+wedge AS MATERIALIZED (
+  SELECT e1.d AS u, e2.d AS w FROM uedges e1
+  JOIN uedges e2 ON e1.s = e2.s AND e1.d < e2.d
+),
+cd AS MATERIALIZED (SELECT u, w, COUNT(*) AS c FROM wedge GROUP BY u, w)
+SELECT CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS rectangles FROM cd
+"""
+
+
 def _matching_sql(rounds: int) -> str:
     """Unrolled deterministic proposer/acceptor handshake matching —
     replays the engine's round-salted role split exactly; extra rounds
@@ -2095,6 +2188,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_apsp": _apsp_sql(12, APSP_SRC),
         "graph_voterank": _voterank_sql(VOTERANK_SEEDS),
         "graph_matching": _matching_sql(60),
+        "graph_rectangles": _rectangles_sql(),
+        "graph_paths": _paths_sql(PATHS_N, PATHS_HOPS),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

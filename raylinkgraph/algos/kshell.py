@@ -30,6 +30,7 @@ class CoreDecompose(Superstep):
     state_dtypes = {
         "cur_deg": pa.int64(),
         "core": pa.int64(),
+        "layer": pa.int64(),  # onion layer = peel round of removal
         "alive": pa.bool_(),
         "just_removed": pa.bool_(),
     }
@@ -45,15 +46,18 @@ class CoreDecompose(Superstep):
         self.max_rounds = int(max_rounds)
 
     def params(self) -> dict:
-        return {"P": self.P, "max_rounds": self.max_rounds}
+        # spec tag invalidates pre-layer checkpoints on resume
+        return {"P": self.P, "max_rounds": self.max_rounds, "spec": "layer-v2"}
 
     def init(self, oids, out_deg):
-        removed = out_deg < 1  # isolated vertices: core 0
+        removed = out_deg < 1  # isolated vertices: core 0, layer 0
         core = np.where(removed, 0, -1).astype(np.int64)
+        layer = np.where(removed, 0, -1).astype(np.int64)
         return (
             {
                 "cur_deg": out_deg.astype(np.int64),
                 "core": core,
+                "layer": layer,
                 "alive": ~removed,
                 "just_removed": removed,
             },
@@ -93,15 +97,18 @@ class CoreDecompose(Superstep):
         cur = state["cur_deg"].copy()
         alive = state["alive"].copy()
         core = state["core"].copy()
+        layer = state["layer"].copy()
         if len(msgs["pos"]):
             cur -= np.bincount(
                 msgs["pos"], weights=msgs["dec"], minlength=len(oids)
             ).astype(np.int64)
         just_removed = alive & (cur < k)
         core[just_removed] = k - 1
+        layer[just_removed] = int(scalars["_round"]) + 1
         alive = alive & ~just_removed
         return (
-            {"cur_deg": cur, "core": core, "alive": alive, "just_removed": just_removed},
+            {"cur_deg": cur, "core": core, "layer": layer, "alive": alive,
+             "just_removed": just_removed},
             {
                 "removed": float(just_removed.sum()),
                 "alive": float(alive.sum()),
@@ -134,5 +141,5 @@ def run_core_number(
             f"core decomposition did not finish: {res.scalars['alive']:.0f} "
             f"vertices still alive after {res.rounds} rounds"
         )
-    df = res.state_pandas()[["oid", "core"]]
+    df = res.state_pandas()[["oid", "core", "layer"]]
     return df.reset_index(drop=True)
