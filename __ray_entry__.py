@@ -747,6 +747,119 @@ def q_graph_paths(sf_dir):
     return sample_paths(g, PATHS_N, PATHS_HOPS)
 
 
+def q_graph_is_simple_path(sf_dir):
+    """is_simple_path (yaml:270): verify the graph_sssp_path output IS a
+    simple path of the ppw graph — every consecutive pair an edge, all
+    vertices distinct. One row: (is_path, n_nodes)."""
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    path = q_graph_sssp_path(sf_dir)["oid"].tolist()
+    g = get_graph(sf_dir, "ppw")
+    from raylinkgraph.pipelines.graph_ops import successors
+
+    ok = len(set(path)) == len(path)
+    for a, b in zip(path, path[1:]):
+        if ok:
+            ok = bool(np.isin(b, successors(g, a)).item())
+    return pd.DataFrame(
+        {"is_path": np.array([int(ok)], np.int64),
+         "n_nodes": np.array([len(path)], np.int64)}
+    )
+
+
+ASP_CUTOFF = 3
+
+
+def q_graph_all_simple_paths(sf_dir):
+    """all_simple_paths (yaml:278) from the min-id customer to the min-id
+    part, length <= 3, on the directed cp graph — frontier expansion with
+    a per-hop bucket join; paths keyed by their vertex sequence."""
+    from raylinkgraph.pipelines.tpch_graph import cpr_edges
+
+    e = (
+        cpr_edges(sf_dir).to_pandas().drop_duplicates(["src_id", "dst_id"])
+    )  # driver-sf enumeration; the per-hop bucket-join shape of
+    # sample_paths is the at-scale path for frontier expansion
+    src = int(e["src_id"].min())
+    dst = int(e[e["dst_id"] >= 10_000_000]["dst_id"].min())
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in e[["src_id", "dst_id"]].itertuples(index=False, name=None):
+        adj[s].append(d)
+    out = []
+    frontier = [(src,)]
+    for _ in range(ASP_CUTOFF):
+        nxt = []
+        for p in frontier:
+            for d in adj.get(p[-1], ()):
+                if d in p:
+                    continue
+                q = p + (d,)
+                if d == dst:
+                    out.append(q)
+                else:
+                    nxt.append(q)
+        frontier = nxt
+    rows = []
+    for i, p in enumerate(sorted(out)):
+        for step, v in enumerate(p):
+            rows.append((i, step, v))
+    return pd.DataFrame(rows, columns=["path_id", "step", "oid"]).astype(np.int64)
+
+
+def q_graph_edge_cover(sf_dir):
+    """Greedy edge cover (flash_min_edge_cover, yaml:370-443): the
+    maximal matching plus, for every unmatched vertex, its smallest
+    neighbor — outputs cover edges (a < b) with multiplicity one."""
+    from raylinkgraph.algos.matching import MaximalMatching
+    from raylinkgraph.bsp_actors import run_bsp_actors
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    res = run_bsp_actors(
+        g, MaximalMatching(), workdir_for(sf_dir, "mm"), max_rounds=600
+    )
+    st = res.state_pandas()
+    mate = st["mate"].to_numpy(np.int64)
+    oid = st["oid"].to_numpy(np.int64)
+
+    # unmatched vertices take their min neighbor: one pre-combined shuffle
+    unmatched = set(oid[mate == -1].tolist())
+    import ray
+
+    ref = ray.put(np.array(sorted(unmatched), np.int64))
+
+    def minnbr(batch: pd.DataFrame) -> pd.DataFrame:
+        un = ray.get(ref)
+        s = batch["src_id"].to_numpy(np.int64)
+        d = batch["dst_id"].to_numpy(np.int64)
+        keep = np.isin(s, un)
+        if not keep.any():
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        t = pd.DataFrame({"v": s[keep], "n": d[keep]})
+        r = t.groupby("v")["n"].min().reset_index()
+        return r
+
+    extra = (
+        g.edges_ds().map_batches(minnbr, batch_format="pandas")
+        .groupby("v").min("n").to_pandas()
+    )
+    extra = extra.rename(columns={"min(n)": "n"})
+    pairs = set()
+    for a, b in zip(oid[mate >= 0], mate[mate >= 0]):
+        pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    for v, n in zip(extra["v"], extra["n"]):
+        if int(v) in unmatched:
+            pairs.add((min(int(v), int(n)), max(int(v), int(n))))
+    rows = sorted(pairs)
+    return pd.DataFrame(
+        {"a": np.array([r[0] for r in rows], np.int64),
+         "b": np.array([r[1] for r in rows], np.int64)}
+    )
+
+
 def q_graph_rectangles(sf_dir):
     """4-cycle count (flash_rectangle, yaml:489-569) on the induced pps
     subgraph: rect = (1/2) sum_{u<w} C(codeg(u,w), 2)."""
@@ -1114,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_rectangles": q_graph_rectangles,
         "graph_dfs": q_graph_dfs,
         "graph_paths": q_graph_paths,
+        "graph_is_simple_path": q_graph_is_simple_path,
+        "graph_all_simple_paths": q_graph_all_simple_paths,
+        "graph_edge_cover": q_graph_edge_cover,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -1743,6 +1859,78 @@ def _mis_sql(luby_rounds: int) -> str:
     )
 
 
+def _is_simple_path_sql() -> str:
+    base = _sssp_path_sql(15, 20).split("\nSELECT", 1)[0]
+    return (
+        base
+        + """
+, pseq AS MATERIALIZED (
+  SELECT (SELECT MAX(back) FROM steps) - back AS seq, v FROM steps)
+SELECT CAST(CASE WHEN
+    (SELECT COUNT(DISTINCT v) FROM pseq) = (SELECT COUNT(*) FROM pseq)
+    AND NOT EXISTS (
+      SELECT 1 FROM pseq a JOIN pseq b ON b.seq = a.seq + 1
+      LEFT JOIN uw e ON e.s = a.v AND e.d = b.v WHERE e.s IS NULL)
+  THEN 1 ELSE 0 END AS BIGINT) AS is_path,
+  (SELECT COUNT(*) FROM pseq)::BIGINT AS n_nodes
+"""
+    )
+
+
+def _all_simple_paths_sql() -> str:
+    """Paths from the min customer to the min part, length <= 3, on the
+    cyclic cpr graph; path ids by lexicographic order of the sequence."""
+    return f"""
+WITH dedges AS MATERIALIZED ({_CPR_EDGES}),
+asrc AS MATERIALIZED (SELECT MIN(s) AS v FROM dedges),
+adst AS MATERIALIZED (SELECT MIN(d) AS v FROM dedges WHERE d >= 10000000),
+h1 AS MATERIALIZED (
+  SELECT e.s AS v0, e.d AS v1 FROM dedges e WHERE e.s = (SELECT v FROM asrc)),
+out1 AS (SELECT v0, v1 FROM h1 WHERE v1 = (SELECT v FROM adst)),
+ext1 AS (SELECT v0, v1 FROM h1 WHERE v1 <> (SELECT v FROM adst)),
+h2 AS MATERIALIZED (
+  SELECT p.v0, p.v1, e.d AS v2 FROM ext1 p JOIN dedges e ON e.s = p.v1
+  WHERE e.d <> p.v0 AND e.d <> p.v1),
+out2 AS (SELECT v0, v1, v2 FROM h2 WHERE v2 = (SELECT v FROM adst)),
+ext2 AS (SELECT v0, v1, v2 FROM h2 WHERE v2 <> (SELECT v FROM adst)),
+h3 AS MATERIALIZED (
+  SELECT p.v0, p.v1, p.v2, e.d AS v3 FROM ext2 p JOIN dedges e ON e.s = p.v2
+  WHERE e.d <> p.v0 AND e.d <> p.v1 AND e.d <> p.v2),
+out3 AS (SELECT v0, v1, v2, v3 FROM h3 WHERE v3 = (SELECT v FROM adst)),
+allp AS MATERIALIZED (
+  SELECT v0, v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3 FROM out1
+  UNION ALL SELECT v0, v1, v2, NULL FROM out2
+  UNION ALL SELECT v0, v1, v2, v3 FROM out3),
+ranked AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY v0, v1, v2 NULLS FIRST, v3 NULLS FIRST) - 1
+    AS path_id, v0, v1, v2, v3 FROM allp),
+unp AS (
+  SELECT path_id, 0 AS step, v0 AS oid FROM ranked
+  UNION ALL SELECT path_id, 1, v1 FROM ranked
+  UNION ALL SELECT path_id, 2, v2 FROM ranked WHERE v2 IS NOT NULL
+  UNION ALL SELECT path_id, 3, v3 FROM ranked WHERE v3 IS NOT NULL)
+SELECT path_id::BIGINT AS path_id, step::BIGINT AS step, oid FROM unp
+ORDER BY path_id, step
+"""
+
+
+def _edge_cover_sql(rounds: int) -> str:
+    base = _matching_sql(rounds).split("\nSELECT", 1)[0]
+    return (
+        base
+        + f"""
+, unm AS MATERIALIZED (SELECT v FROM hm{rounds} WHERE mate = -1),
+exn AS MATERIALIZED (SELECT e.s AS v, MIN(e.d) AS n FROM uedges e
+  JOIN unm ON unm.v = e.s GROUP BY e.s),
+cover AS (
+  SELECT LEAST(v, mate) AS a, GREATEST(v, mate) AS b FROM hm{rounds}
+  WHERE mate <> -1
+  UNION SELECT LEAST(v, n), GREATEST(v, n) FROM exn)
+SELECT a, b FROM cover ORDER BY a, b
+"""
+    )
+
+
 def _paths_sql(n_paths: int, hops: int) -> str:
     ctes = [
         f"pedges AS MATERIALIZED ({_PP_EDGES})",
@@ -2190,6 +2378,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_sql(60),
         "graph_rectangles": _rectangles_sql(),
         "graph_paths": _paths_sql(PATHS_N, PATHS_HOPS),
+        "graph_is_simple_path": _is_simple_path_sql(),
+        "graph_all_simple_paths": _all_simple_paths_sql(),
+        "graph_edge_cover": _edge_cover_sql(60),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),
