@@ -860,6 +860,31 @@ def q_graph_edge_cover(sf_dir):
     )
 
 
+def q_graph_msf(sf_dir):
+    """Minimum spanning forest (flash_msf, yaml:447-453) on the weighted
+    induced pps subgraph via Boruvka rounds; rows-only — uniqueness under
+    the (w, min, max) total order is pinned by the pytest oracle
+    (networkx weight-sum + spanning/acyclicity checks)."""
+    import json
+
+    from raylinkgraph.algos.msf import run_msf
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "ppsw")
+    wd = workdir_for(sf_dir, "msf")
+    cache = os.path.join(wd, "result.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            saved = json.load(f)
+        if saved["digest"] == g.digest():
+            return pd.DataFrame(saved["rows"]).astype(np.int64)
+    out = run_msf(g, wd)
+    out["w"] = out["w"].astype(np.int64)  # co-order counts are integral
+    with open(cache, "w") as f:
+        json.dump({"digest": g.digest(), "rows": out.to_dict("list")}, f)
+    return out
+
+
 def q_graph_rectangles(sf_dir):
     """4-cycle count (flash_rectangle, yaml:489-569) on the induced pps
     subgraph: rect = (1/2) sum_{u<w} C(codeg(u,w), 2)."""
@@ -1230,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_is_simple_path": q_graph_is_simple_path,
         "graph_all_simple_paths": q_graph_all_simple_paths,
         "graph_edge_cover": q_graph_edge_cover,
+        "graph_msf": q_graph_msf,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,

@@ -118,11 +118,28 @@ def _sum_by(ds: rd.Dataset, key: str, val: str, out: str, B: int = 32) -> rd.Dat
     )
 
 
-def _persist(ds: rd.Dataset, path: str) -> rd.Dataset:
+def _persist(ds: rd.Dataset, path: str, empty_schema: dict | None = None
+             ) -> rd.Dataset:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)  # never mix runs' files
     ds.write_parquet(path)
+    has_files = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if not has_files:  # empty dataset wrote nothing: emit a typed file
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = ds.schema()
+        if sch is not None and sch.names:
+            cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        elif empty_schema:
+            cols = {n: pa.array([], t) for n, t in empty_schema.items()}
+        else:
+            raise ValueError(f"empty dataset with unknown schema at {path}")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.table(cols), os.path.join(path, "empty.parquet"))
     return rd.read_parquet(path)
 
 

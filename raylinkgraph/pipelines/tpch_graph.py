@@ -285,6 +285,20 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
                 pp_edges(sf_dir).map_batches(small, batch_format="pyarrow"),
                 gdir, P=P, symmetrize=True,
             )
+        elif kind == "ppsw":
+            # weighted induced pp subgraph (partkey < 500): bounded input
+            # for multi-phase ops (msf)
+            def small_w(batch: pa.Table) -> pa.Table:
+                s = batch.column("src_id").to_numpy(zero_copy_only=False)
+                d = batch.column("dst_id").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((s < 500) & (d < 500)))
+
+            g = LinkGraph.build(
+                pp_weighted_edges(sf_dir).map_batches(
+                    small_w, batch_format="pyarrow"
+                ),
+                gdir, P=P, symmetrize=True, weight_col="weight",
+            )
         elif kind == "cpw_und":
             # weighted bipartite: weight = lineitem rows per (cust, part),
             # symmetrized for alternating u2i / i2u propagation
