@@ -860,6 +860,24 @@ def q_graph_edge_cover(sf_dir):
     )
 
 
+def q_graph_kcenter(sf_dir):
+    """Greedy 3-center (flash_k_center, yaml:457-478) on the pp graph:
+    farthest-point traversal from the min-id vertex."""
+    from raylinkgraph.algos.centrality import k_center
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    r = k_center(g, workdir_for(sf_dir, "kcenter"), 3)
+    return pd.DataFrame(
+        {
+            "c1": np.array([r["centers"][0]], np.int64),
+            "c2": np.array([r["centers"][1]], np.int64),
+            "c3": np.array([r["centers"][2]], np.int64),
+            "radius": np.array([r["radius"]], np.int64),
+        }
+    )
+
+
 def q_graph_msf(sf_dir):
     """Minimum spanning forest (flash_msf, yaml:447-453) on the weighted
     induced pps subgraph via Boruvka rounds; rows-only — uniqueness under
@@ -1256,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_all_simple_paths": q_graph_all_simple_paths,
         "graph_edge_cover": q_graph_edge_cover,
         "graph_msf": q_graph_msf,
+        "graph_kcenter": q_graph_kcenter,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -2078,6 +2097,71 @@ def _voterank_sql(n_seeds: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
 
 
+def _kcenter_sql(rounds: int) -> str:
+    """Greedy 3-center: three unrolled BFS sweeps with running LEAST."""
+    BIG = 1 << 40
+
+    def bfs_block(tag: str, src_expr: str) -> list[str]:
+        ctes = [
+            f"{tag}0 AS MATERIALIZED (SELECT v, CASE WHEN v = ({src_expr}) "
+            f"THEN 0 END AS dist FROM kverts)"
+        ]
+        for i in range(rounds):
+            ctes.append(
+                f"{tag}m{i} AS MATERIALIZED (SELECT e.d AS v, MIN(x.dist) + 1 AS nd "
+                f"FROM uedges e JOIN {tag}{i} x ON e.s = x.v "
+                f"WHERE x.dist IS NOT NULL GROUP BY e.d)"
+            )
+            ctes.append(
+                f"{tag}{i+1} AS MATERIALIZED (SELECT x.v, CASE "
+                f"WHEN x.dist IS NULL THEN {tag}m{i}.nd "
+                f"WHEN {tag}m{i}.nd IS NULL THEN x.dist "
+                f"ELSE LEAST(x.dist, {tag}m{i}.nd) END AS dist "
+                f"FROM {tag}{i} x LEFT JOIN {tag}m{i} ON {tag}m{i}.v = x.v)"
+            )
+        return ctes
+
+    R = rounds
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "kverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "kc1 AS MATERIALIZED (SELECT MIN(v) AS c FROM kverts)",
+    ]
+    ctes += bfs_block("ka", "SELECT c FROM kc1")
+    ctes.append(
+        f"km1 AS MATERIALIZED (SELECT v, COALESCE(dist, {BIG}) AS m FROM ka{R})"
+    )
+    ctes.append(
+        f"kc2 AS MATERIALIZED (SELECT v AS c FROM km1 WHERE m < {BIG} "
+        f"ORDER BY m DESC, v ASC LIMIT 1)"
+    )
+    ctes += bfs_block("kb", "SELECT c FROM kc2")
+    ctes.append(
+        f"km2 AS MATERIALIZED (SELECT km1.v, LEAST(km1.m, "
+        f"COALESCE(kb{R}.dist, {BIG})) AS m FROM km1 "
+        f"JOIN kb{R} ON kb{R}.v = km1.v)"
+    )
+    ctes.append(
+        f"kc3 AS MATERIALIZED (SELECT v AS c FROM km2 WHERE m < {BIG} "
+        f"ORDER BY m DESC, v ASC LIMIT 1)"
+    )
+    ctes += bfs_block("kd", "SELECT c FROM kc3")
+    ctes.append(
+        f"km3 AS MATERIALIZED (SELECT km2.v, LEAST(km2.m, "
+        f"COALESCE(kd{R}.dist, {BIG})) AS m FROM km2 "
+        f"JOIN kd{R} ON kd{R}.v = km2.v)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT c FROM kc1) AS c1, (SELECT c FROM kc2) AS c2,
+  (SELECT c FROM kc3) AS c3,
+  (SELECT MAX(m) FROM km3 WHERE m < {BIG})::BIGINT AS radius
+"""
+    )
+
+
 def _degree_centrality_sql() -> str:
     return f"""
 WITH edges AS MATERIALIZED ({_EDGES}),
@@ -2407,6 +2491,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_is_simple_path": _is_simple_path_sql(),
         "graph_all_simple_paths": _all_simple_paths_sql(),
         "graph_edge_cover": _edge_cover_sql(60),
+        "graph_kcenter": _kcenter_sql(10),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),

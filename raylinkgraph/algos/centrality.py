@@ -201,6 +201,74 @@ def two_sweep_diameter(graph: LinkGraph, workdir: str) -> dict:
     return {"source": s0, "far_vertex": w, "ecc1": ecc1, "diameter_lb": ecc2}
 
 
+def k_center(graph: LinkGraph, workdir: str, k: int) -> dict:
+    """Greedy k-center / farthest-point traversal (flash_k_center,
+    .gs_conf.yaml:457-478): c1 = min id; each next center = the vertex
+    maximizing its min BFS distance to the chosen centers (ties ->
+    smallest id; unreachable vertices excluded). Returns the centers in
+    selection order and the final covering radius. One BFS job per
+    center; the running min-distance is folded per partition."""
+    import pandas as pd
+
+    from raylinkgraph.algos.bfs import BFS, UNREACHED
+    from raylinkgraph.algos.louvain import _attach, _persist
+    from raylinkgraph.bsp import run_bsp
+
+    B = graph.P
+    centers = [int(smallest_oids(graph, 1)[0])]
+    mind = None  # Dataset (oid, mind), persisted parquet per center
+    for i in range(k):
+        res = run_bsp(
+            graph, BFS(centers[-1]),
+            os.path.join(workdir, f"bfs-{centers[-1]}"), max_rounds=10_000,
+        )
+        st = res.state_ds().map_batches(
+            lambda b: pd.DataFrame(
+                {"oid": b["oid"].to_numpy(np.int64),
+                 "dist": b["dist"].to_numpy(np.float64)}
+            ),
+            batch_format="pandas",
+        )
+        if mind is None:
+            merged = st.map_batches(
+                lambda b: pd.DataFrame(
+                    {"oid": b["oid"].to_numpy(np.int64),
+                     "mind": b["dist"].to_numpy(np.float64)}
+                ),
+                batch_format="pandas",
+            )
+        else:
+            merged = _attach(
+                st, "oid", mind, "oid", ["mind"], ["prev"], B,
+                {"oid": "int64", "dist": "float64"},
+            ).map_batches(
+                lambda b: pd.DataFrame(
+                    {"oid": b["oid"].to_numpy(np.int64),
+                     "mind": np.minimum(b["dist"].to_numpy(np.float64),
+                                         b["prev"].to_numpy(np.float64))}
+                ),
+                batch_format="pandas",
+            )
+        mind = _persist(merged, os.path.join(workdir, f"mind-{i}"))
+
+        def far_partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["mind"] != float(UNREACHED)]
+            if not len(b):
+                return pd.DataFrame({"d": [-1.0], "v": [np.int64(-1)]})
+            j = np.lexsort((b["oid"].to_numpy(), -b["mind"].to_numpy()))[0]
+            return pd.DataFrame(
+                {"d": [float(b["mind"].iloc[j])], "v": [np.int64(b["oid"].iloc[j])]}
+            )
+
+        parts = mind.map_batches(far_partial, batch_format="pandas").to_pandas()
+        j = np.lexsort((parts["v"].to_numpy(), -parts["d"].to_numpy()))[0]
+        far_v, far_d = int(parts["v"].iloc[j]), int(parts["d"].iloc[j])
+        if i == k - 1:
+            return {"centers": centers, "radius": far_d}
+        centers.append(far_v)
+    return {"centers": centers, "radius": far_d}
+
+
 def run_closeness(
     graph: LinkGraph,
     workdir: str,
