@@ -878,6 +878,24 @@ def q_graph_kcenter(sf_dir):
     )
 
 
+def q_graph_coloring(sf_dir):
+    """Greedy Jones-Plassmann coloring (flash_color, yaml:615-646):
+    round-salted priority winners take the mex of colored neighbors."""
+    from raylinkgraph.algos.coloring import Coloring
+    from raylinkgraph.bsp_actors import run_bsp_actors
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    res = run_bsp_actors(
+        g, Coloring(), workdir_for(sf_dir, "coloring"), max_rounds=600
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"].to_numpy(np.int64),
+         "color": df["color"].to_numpy(np.int64)}
+    )
+
+
 def q_graph_msf(sf_dir):
     """Minimum spanning forest (flash_msf, yaml:447-453) on the weighted
     induced pps subgraph via Boruvka rounds; rows-only — uniqueness under
@@ -1275,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_cover": q_graph_edge_cover,
         "graph_msf": q_graph_msf,
         "graph_kcenter": q_graph_kcenter,
+        "graph_coloring": q_graph_coloring,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
@@ -2097,6 +2116,53 @@ def _voterank_sql(n_seeds: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
 
 
+def _coloring_sql(rounds: int) -> str:
+    """Unrolled Jones-Plassmann: same keys as MIS; mex via a bounded
+    color range (1024 >> max degree at the driver sf) anti-join."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PPS_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "gverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "gcol0 AS MATERIALIZED (SELECT v, CAST(-1 AS BIGINT) AS color FROM gverts)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"gk{r} AS MATERIALIZED (SELECT v, "
+            f"((v * 1103515245 + 12345 + {r} * 2654435761) % 2147483647) "
+            f"* 16777216 + (v % 16777216) AS k FROM gverts)"
+        )
+        ctes.append(
+            f"gnm{r} AS MATERIALIZED (SELECT e.s AS v, MAX(k2.k) AS mk "
+            f"FROM uedges e JOIN gcol{r} c2 ON c2.v = e.d AND c2.color = -1 "
+            f"JOIN gk{r} k2 ON k2.v = e.d GROUP BY e.s)"
+        )
+        ctes.append(
+            f"gwin{r} AS MATERIALIZED (SELECT c.v FROM gcol{r} c "
+            f"JOIN gk{r} k ON k.v = c.v LEFT JOIN gnm{r} nm ON nm.v = c.v "
+            f"WHERE c.color = -1 AND k.k > COALESCE(nm.mk, -4611686018427387904))"
+        )
+        ctes.append(
+            f"gus{r} AS MATERIALIZED (SELECT w.v, c2.color FROM gwin{r} w "
+            f"JOIN uedges e ON e.s = w.v "
+            f"JOIN gcol{r} c2 ON c2.v = e.d AND c2.color >= 0)"
+        )
+        ctes.append(
+            f"gmx{r} AS MATERIALIZED (SELECT cand.v, MIN(cand.g) AS c FROM "
+            f"(SELECT w.v, t.range AS g FROM gwin{r} w, range(0, 1024) t) cand "
+            f"LEFT JOIN gus{r} u ON u.v = cand.v AND u.color = cand.g "
+            f"WHERE u.v IS NULL GROUP BY cand.v)"
+        )
+        ctes.append(
+            f"gcol{r+1} AS MATERIALIZED (SELECT c.v, "
+            f"COALESCE(m.c, c.color) AS color FROM gcol{r} c "
+            f"LEFT JOIN gmx{r} m ON m.v = c.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, color FROM gcol{rounds} ORDER BY oid"
+    )
+
+
 def _kcenter_sql(rounds: int) -> str:
     """Greedy 3-center: three unrolled BFS sweeps with running LEAST."""
     BIG = 1 << 40
@@ -2492,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_all_simple_paths": _all_simple_paths_sql(),
         "graph_edge_cover": _edge_cover_sql(60),
         "graph_kcenter": _kcenter_sql(10),
+        "graph_coloring": _coloring_sql(120),
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),
