@@ -260,7 +260,17 @@ class BrandesBackward(Superstep):
 def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
     """-> pandas (oid, bc): bc = sum over the sampled sources of Brandes
     dependencies (delta at each source itself excluded). One forward +
-    one backward BSP job for the whole source set."""
+    one backward BSP job for the whole source set.
+
+    Backward dependency messages travel along OUT edges, which is only
+    correct when the graph is symmetric — guard like the sibling
+    algorithms (louvain/msf/triangles) instead of silently returning
+    wrong values on a directed graph."""
+    if not graph.meta.get("symmetrize"):
+        raise ValueError(
+            "betweenness sends backward dependencies along out-edges; "
+            "build the graph with symmetrize=True (to_undirected) first"
+        )
     if engine == "actors":
         from raylinkgraph.bsp_actors import run_bsp_actors as runner
     else:

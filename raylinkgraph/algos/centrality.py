@@ -312,3 +312,93 @@ def run_closeness(
                 acc = acc.drop(columns=[f"{c}_w"])
     out = acc.rename(columns={"cnt": "reached"})
     return out.sort_values("oid").reset_index(drop=True)
+
+
+class MaxMSBFS(Superstep):
+    """random_multi_bfs (flash, .gs_conf.yaml:650-709,
+    apps/flash/traversal/random-multi-bfs.h:43-88): k<=64 sources, per
+    vertex report the MAXIMUM distance over the sources that reach it
+    (-1 when none does). Pinned deviation: sources are the k smallest
+    vertex ids, not time-seeded rand_r. Distances travel implicitly: a
+    bit arriving at round r is at distance r, so max_d is simply the
+    last round any new bit arrived."""
+
+    name = "max_msbfs"
+    state_dtypes = {"mask": pa.int64(), "fresh": pa.int64(), "max_d": pa.int64()}
+    scatter_columns = ["fresh"]
+    msg_dtypes = {"orv": pa.int64()}
+    scalar_names = ["active"]
+
+    def __init__(self, sources, max_rounds: int = 10_000):
+        src = np.asarray(sorted(int(s) for s in sources), np.int64)
+        if len(src) > 64:
+            raise ValueError("at most 64 sources")
+        self.sources = src
+        self.max_rounds = int(max_rounds)
+
+    def params(self) -> dict:
+        return {"sources": [int(s) for s in self.sources],
+                "max_rounds": self.max_rounds}
+
+    def init(self, oids, out_deg):
+        n = len(oids)
+        mask = np.zeros(n, _U64)
+        pos = np.searchsorted(oids, self.sources)
+        pos = pos[pos < n]
+        hit = pos[np.isin(oids[pos], self.sources)]
+        bit_idx = np.searchsorted(self.sources, oids[hit]).astype(_U64)
+        mask[hit] = _U64(1) << bit_idx
+        max_d = np.where(mask != 0, 0, -1).astype(np.int64)
+        return (
+            {"mask": mask.view(np.int64), "fresh": mask.view(np.int64).copy(),
+             "max_d": max_d},
+            {"active": float((mask != 0).sum())},
+        )
+
+    scatter = MSBFS.scatter  # identical OR-reduced frontier propagation
+
+    def apply(self, oids, out_deg, state, msgs, scalars):
+        r = int(scalars["_round"]) + 1
+        mask = state["mask"].view(_U64).copy()
+        max_d = state["max_d"].copy()
+        fresh = np.zeros(len(oids), _U64)
+        if len(msgs["pos"]):
+            pos = msgs["pos"]
+            order = np.argsort(pos, kind="stable")
+            ps, vs = pos[order], msgs["orv"][order].view(_U64)
+            starts = np.flatnonzero(np.r_[True, np.diff(ps) > 0])
+            ors = np.bitwise_or.reduceat(vs, starts)
+            upos = ps[starts]
+            new = ors & ~mask[upos]
+            nz = new != 0
+            if nz.any():
+                upos, new = upos[nz], new[nz]
+                fresh[upos] = new
+                mask[upos] |= new
+                max_d[upos] = r
+        return (
+            {"mask": mask.view(np.int64), "fresh": fresh.view(np.int64),
+             "max_d": max_d},
+            {"active": float((fresh != 0).sum())},
+        )
+
+    def converged(self, scalars, completed_rounds):
+        if completed_rounds >= self.max_rounds:
+            return True
+        return completed_rounds >= 1 and scalars["active"] == 0.0
+
+
+def run_random_multi_bfs(graph: LinkGraph, workdir: str, *, k: int = 64,
+                         engine: str = "dataset") -> pd.DataFrame:
+    """-> (oid, res): res = max distance over the k pinned sources that
+    reach the vertex, -1 if unreached. Directed (follows the graph's
+    edges, ED in the reference)."""
+    if engine == "actors":
+        from raylinkgraph.bsp_actors import run_bsp_actors as runner
+    else:
+        from raylinkgraph.bsp import run_bsp as runner
+
+    srcs = smallest_oids(graph, k)
+    res = runner(graph, MaxMSBFS(srcs), workdir, max_rounds=10_000)
+    df = res.state_pandas()[["oid", "max_d"]].rename(columns={"max_d": "res"})
+    return df.reset_index(drop=True)

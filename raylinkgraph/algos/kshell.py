@@ -143,3 +143,101 @@ def run_core_number(
         )
     df = res.state_pandas()[["oid", "core", "layer"]]
     return df.reset_index(drop=True)
+
+
+def densest_subgraph_2approx(graph: LinkGraph, workdir: str) -> dict:
+    """flash_densest_sub_2_approx (.gs_conf.yaml:553-569,
+    apps/flash/subgraph/densest-sub-2-approx.h:46-110): take the max-core
+    subgraph of the degeneracy ordering; density is reported exactly as
+    the reference computes it — nv = |S|, ne = sum over v in S of
+    |N(v) ∩ S| (i.e. 2x the undirected edge count), density = ne / nv.
+    Core numbers come from the one-pass peel; the membership filter is a
+    partitioned bucket join (nothing broadcast, nothing on the driver)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import partition_of
+
+    from raylinkgraph.bsp import run_bsp
+
+    res = run_bsp(
+        graph, CoreDecompose(graph.P), os.path.join(workdir, "core"),
+        max_rounds=100_000,
+    )
+    state = res.state_ds()  # (oid, core, ...) per-partition parquet
+    cmax = int(state.max("core"))
+    P = graph.P
+
+    # membership rows stay a Dataset end-to-end (no driver materialization)
+    def members(b: pa.Table) -> pd.DataFrame:
+        keep = b.column("core").to_numpy(zero_copy_only=False) == cmax
+        oid = b.column("oid").to_numpy(zero_copy_only=False)[keep]
+        return pd.DataFrame(
+            {"k": oid, "side": np.int8(1), "src": np.int64(-1)}
+        )
+
+    mem_ds = state.map_batches(members, batch_format="pyarrow").materialize()
+    nv = mem_ds.count()
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        d = b.column("dst_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(d, pa.int64()),
+                "side": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                "src": b.column("src_id"),
+            }
+        )
+
+    def tag_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__b=partition_of(b["k"].to_numpy(np.int64), P))
+
+    def count_dst_member(g: pd.DataFrame) -> pd.DataFrame:
+        mem = np.sort(g[g["side"] == 1]["k"].to_numpy(np.int64))
+        e = g[g["side"] == 0]
+        if not len(e) or not len(mem):
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int8),
+                                 "src": pd.Series([], dtype=np.int64)})
+        d = e["k"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(mem, d), len(mem) - 1)
+        hit = mem[pos] == d
+        # survivors re-keyed by src for the second membership check
+        s = e["src"].to_numpy(np.int64)[hit]
+        return pd.DataFrame(
+            {"k": s, "side": np.int8(0), "src": s}
+        )
+
+    def count_src_member(g: pd.DataFrame) -> pd.DataFrame:
+        mem = np.sort(g[g["side"] == 1]["k"].to_numpy(np.int64))
+        e = g[g["side"] == 0]
+        if not len(e) or not len(mem):
+            return pd.DataFrame({"ne": [np.int64(0)]})
+        s = e["k"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(mem, s), len(mem) - 1)
+        return pd.DataFrame({"ne": [np.int64((mem[pos] == s).sum())]})
+
+    pass1 = (
+        graph.edges_ds().map_batches(tag_edges, batch_format="pyarrow")
+        .union(mem_ds)
+        .map_batches(tag_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: count_dst_member(g.drop(columns="__b")),
+                    batch_format="pandas")
+    )
+    parts = (
+        pass1.union(mem_ds)
+        .map_batches(tag_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: count_src_member(g.drop(columns="__b")),
+                    batch_format="pandas")
+    ).to_pandas()
+    ne = int(parts["ne"].sum())
+    return {
+        "cmax": cmax,
+        "nv": int(nv),
+        "ne": ne,
+        "density": (ne / nv) if nv else 0.0,
+    }

@@ -196,6 +196,35 @@ def run_msf(graph, workdir: str, *, max_rounds: int = 60) -> pd.DataFrame:
             )
             if float(lab.sum("chg")) == 0.0:
                 break
+            # pointer jumping: lab(x) <- min(lab(x), lab(lab(x))). The
+            # plain neighbor-min hook converges in O(selection-chain
+            # length) rounds (a path of monotone weights hooks every
+            # component to its successor); the jump halves every chain
+            # each iteration, so 40 iterations cover 2^40 components.
+            jump_cols = {"c": np.int64, "lab": np.float64, "chg": np.float64,
+                         "k": np.int64}
+            lab = _persist(
+                _attach(
+                    lab.map_batches(
+                        lambda b: pd.DataFrame(
+                            {"c": b["c"].to_numpy(np.int64),
+                             "lab": b["lab"].to_numpy(np.float64),
+                             "chg": b["chg"].to_numpy(np.float64),
+                             "k": b["lab"].to_numpy(np.float64).astype(np.int64)}
+                        ),
+                        batch_format="pandas",
+                    ),
+                    "k", lab, "c", ["lab"], ["l2"], B, jump_cols,
+                    decide=lambda res: pd.DataFrame(
+                        {"c": res["c"].to_numpy(np.int64),
+                         "lab": np.minimum(
+                             res["lab"].to_numpy(np.float64),
+                             res["l2"].to_numpy(np.float64)),
+                         "chg": res["chg"].to_numpy(np.float64)}
+                    ),
+                ),
+                os.path.join(workdir, f"lab{r:04d}-{it+1}j"),
+            )
         else:
             raise RuntimeError("msf contraction did not converge")
         # comp(v) <- lab(comp(v)) for touched components (untouched keep)

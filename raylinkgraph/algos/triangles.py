@@ -47,17 +47,22 @@ def _vertexstate(graph_dir: str, pid: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
-    """-> Dataset of (oid, tricnt, deg) for every vertex (deg = undirected
-    degree, carried so LCC / transitivity stay distributed joins on the
-    home partition — nothing O(V) touches the driver)."""
+def orient_edges(graph: LinkGraph, workdir: str) -> str:
+    """Stages 1+2 of the triangle dataflow (shared by the motif counters):
+    orient every undirected edge low->high by (deg, id) and store one
+    src-major oriented-{pid}.parquet per partition (neighbors sorted by
+    (deg, id) within each source segment). Two shuffles; idempotent per
+    workdir. Returns the oriented directory path."""
     if not graph.meta.get("symmetrize"):
-        raise ValueError("triangles requires a symmetrized graph")
+        raise ValueError("orientation requires a symmetrized graph")
     P = graph.P
     graph_dir = graph.graph_dir
-    os.makedirs(os.path.join(workdir, "oriented"), exist_ok=True)
+    odir = os.path.join(workdir, "oriented")
+    os.makedirs(odir, exist_ok=True)
+    marker = os.path.join(odir, "_done-" + graph.digest())
+    if os.path.exists(marker):  # already built for this exact graph
+        return odir
 
-    # ---- stages 1+2: orient edges by (deg, id) ---------------------------
     def tag_dst(batch: pa.Table) -> pa.Table:
         dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
         return batch.append_column("pid", pa.array(partition_of(dst, P), pa.int32()))
@@ -116,11 +121,18 @@ def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
             _atomic_write(
                 empty, os.path.join(workdir, "oriented", f"oriented-{pid:05d}.parquet")
             )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return odir
 
-    # ---- stage 3: wedge expansion ---------------------------------------
-    # Driven per partition FILE (not per map batch): a source's adjacency
-    # must stay whole for the pair expansion, and batch boundaries would
-    # split it. Output streams out in bounded chunks via a generator.
+
+def wedge_candidates(oriented_dir: str, P: int) -> rd.Dataset:
+    """Stage 3: oriented wedge expansion -> (x, y, apex, pid=hash(x)%P)
+    rows. Driven per partition FILE (not per map batch): a source's
+    adjacency must stay whole for the pair expansion, and batch
+    boundaries would split it. Output streams in bounded chunks via a
+    generator."""
+
     def wedges(batch: pa.Table):
         empty = pa.table(
             {
@@ -133,7 +145,7 @@ def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
         any_out = False
         for pid in batch.column("id").to_pylist():
             t = pq.read_table(
-                os.path.join(workdir, "oriented", f"oriented-{int(pid):05d}.parquet"),
+                os.path.join(oriented_dir, f"oriented-{int(pid):05d}.parquet"),
                 columns=["src", "dst"],
             )
             src = t.column("src").to_numpy(zero_copy_only=False)
@@ -171,11 +183,55 @@ def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
         if not any_out:
             yield empty
 
+    return rd.range(P, override_num_blocks=P).map_batches(
+        wedges, batch_format="pyarrow"
+    )
+
+
+def triangle_rows(graph: LinkGraph, workdir: str) -> rd.Dataset:
+    """-> Dataset of confirmed oriented triangles (a, x, y): rank(a) <
+    rank(x) < rank(y) under the (deg, id) total order. Each triangle
+    appears exactly once. Shared by the diamond / k-clique counters."""
+    P = graph.P
+    oriented_dir = orient_edges(graph, workdir)
+
+    def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        o = pq.read_table(
+            os.path.join(oriented_dir, f"oriented-{pid:05d}.parquet"),
+            columns=["src", "dst"],
+        ).to_pandas()
+        hit = g.merge(
+            o.rename(columns={"src": "x", "dst": "y"}), on=["x", "y"], how="inner"
+        )
+        return pd.DataFrame(
+            {"a": hit["apex"].to_numpy(np.int64),
+             "x": hit["x"].to_numpy(np.int64),
+             "y": hit["y"].to_numpy(np.int64)}
+        )
+
+    return (
+        wedge_candidates(oriented_dir, P)
+        .groupby("pid")
+        .map_groups(confirm, batch_format="pandas")
+    )
+
+
+def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
+    """-> Dataset of (oid, tricnt, deg) for every vertex (deg = undirected
+    degree, carried so LCC / transitivity stay distributed joins on the
+    home partition — nothing O(V) touches the driver)."""
+    if not graph.meta.get("symmetrize"):
+        raise ValueError("triangles requires a symmetrized graph")
+    P = graph.P
+    graph_dir = graph.graph_dir
+    oriented_dir = orient_edges(graph, workdir)
+
     # ---- stage 4: semi-join candidates against oriented edges -----------
     def check(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g["pid"].iloc[0])
         o = pq.read_table(
-            os.path.join(workdir, "oriented", f"oriented-{pid:05d}.parquet"),
+            os.path.join(oriented_dir, f"oriented-{pid:05d}.parquet"),
             columns=["src", "dst"],
         ).to_pandas()
         hit = g.merge(
@@ -190,8 +246,7 @@ def run_triangles(graph: LinkGraph, workdir: str) -> rd.Dataset:
         return pd.DataFrame({"v": uv, "cnt": cnt.astype(np.int64)})
 
     counts = (
-        rd.range(P, override_num_blocks=P)
-        .map_batches(wedges, batch_format="pyarrow")
+        wedge_candidates(oriented_dir, P)
         .groupby("pid")
         .map_groups(check, batch_format="pandas")
     )

@@ -46,7 +46,14 @@ from raylinkgraph.state import checkpoint as ckpt
 
 class Superstep:
     """Protocol for BSP algorithms. All arrays are numpy; all methods must
-    be deterministic and order-insensitive (SURVEY.md §4 determinism)."""
+    be deterministic and order-insensitive (SURVEY.md §4 determinism).
+
+    CONTRACT — replace, don't mutate: ``apply`` must return NEW state
+    arrays (or the old ones unchanged), never update the received arrays
+    in place. The resident engine's async checkpoint writer snapshots the
+    previous round's arrays zero-copy while the next round computes
+    (bsp_actors.py), so in-place mutation would race the writer. The
+    engine enforces this by marking checkpointed arrays read-only."""
 
     name: str = "abstract"
     #: state-file columns written next to ``oid`` (e.g. {"rank": float64})

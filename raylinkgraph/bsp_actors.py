@@ -121,7 +121,14 @@ class _Worker:
             cols["oid"] = pa.array(p.oids, pa.int64())
         for k, t in self.state_dtypes.items():
             if k not in skip:
-                cols[k] = pa.array(state[k], t)
+                arr = state[k]
+                if isinstance(arr, np.ndarray):
+                    # enforce the Superstep replace-don't-mutate contract:
+                    # the async flush wraps these arrays zero-copy; an
+                    # in-place update from a future superstep now raises
+                    # instead of persisting a corrupted checkpoint
+                    arr.setflags(write=False)
+                cols[k] = pa.array(arr, t)
         return pa.table(cols)
 
     def _write_ckpt(self, workdir: str, step: int, pid: int) -> None:

@@ -403,11 +403,26 @@ def subgraph_edges(graph: LinkGraph, keep_oids: set[int] | np.ndarray) -> rd.Dat
 
 
 def add_column(
-    vertex_table: rd.Dataset, result: rd.Dataset, on: str = "oid"
+    vertex_table: rd.Dataset,
+    result: rd.Dataset,
+    on: str = "oid",
+    *,
+    broadcast_limit: int = 2_000_000,
+    buckets: int = 64,
 ) -> rd.Dataset:
     """ADD_COLUMN (dag_utils.py:973): join an algorithm's (oid, value)
-    result onto a vertex table. Small-side broadcast hash join."""
+    result onto a vertex table.
+
+    An algorithm result is O(V), not a small side: below
+    ``broadcast_limit`` rows it is broadcast ONCE via ray.put (sorted-key
+    searchsorted lookup); above it the join is a partitioned bucket join
+    on hash(key) — the same split attach_gids uses
+    (stages/vertex_map.py:54-112). Missing keys get NaN for float result
+    columns (int columns must be fully keyed)."""
     import ray
+
+    if result.count() > broadcast_limit:
+        return _add_column_partitioned(vertex_table, result, on, buckets)
 
     res = result.to_pandas().sort_values(on)
     keys = res[on].to_numpy(np.int64)
@@ -429,3 +444,63 @@ def add_column(
         return out
 
     return vertex_table.map_batches(f, batch_format="pyarrow")
+
+
+def _add_column_partitioned(
+    vertex_table: rd.Dataset, result: rd.Dataset, on: str, buckets: int
+) -> rd.Dataset:
+    """Scale path: ONE bucket-join shuffle on hash(on). Both sides are
+    tagged and grouped; each group resolves its vertex rows against its
+    slice of the result with a sorted-key searchsorted (nothing is
+    collected on the driver or broadcast)."""
+    left_schema = vertex_table.schema()
+    left_cols = list(left_schema.names)
+    res_cols = [c for c in result.schema().names if c != on]
+    res_types = {
+        c: result.schema().field(c).type for c in res_cols
+    }
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch.column(on).to_numpy(zero_copy_only=False)
+        cols = {c: batch.column(c) for c in left_cols}
+        for c in res_cols:
+            cols[c] = pa.nulls(batch.num_rows, res_types[c])
+        cols["__b"] = pa.array(partition_of(key, buckets), pa.int32())
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_res(batch: pa.Table) -> pa.Table:
+        key = batch.column(on).to_numpy(zero_copy_only=False)
+        cols = {
+            c: (batch.column(on) if c == on
+                else pa.nulls(batch.num_rows, left_schema.field(c).type))
+            for c in left_cols
+        }
+        for c in res_cols:
+            cols[c] = batch.column(c)
+        cols["__b"] = pa.array(partition_of(key, buckets), pa.int32())
+        cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["__side"] == 1].sort_values(on)
+        rows = g[g["__side"] == 0]
+        keys = r[on].to_numpy(np.int64)
+        k = rows[on].to_numpy(np.int64)
+        pos = np.searchsorted(keys, k)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == k) if len(keys) else np.zeros(len(k), np.bool_)
+        out = rows[left_cols].copy()
+        for c in res_cols:
+            vals = r[c].to_numpy()[pos_c] if len(keys) else np.full(len(k), np.nan)
+            if np.issubdtype(np.asarray(vals).dtype, np.floating):
+                vals = np.where(hit, vals, np.nan)
+            out[c] = vals
+        return out
+
+    return (
+        vertex_table.map_batches(tag_left, batch_format="pyarrow")
+        .union(result.map_batches(tag_res, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(join, batch_format="pandas")
+    )

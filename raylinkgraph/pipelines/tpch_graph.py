@@ -112,7 +112,9 @@ def cpr_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
 
     def tag_lineitem(batch: pa.Table) -> pa.Table:
         lo = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        ret = np.asarray(batch.column("l_returnflag").to_pylist()) == "R"
+        ret = pa.compute.equal(
+            batch.column("l_returnflag"), "R"
+        ).to_numpy(zero_copy_only=False)
         n = len(lo)
         return pa.table(
             {

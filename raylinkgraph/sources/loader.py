@@ -10,6 +10,8 @@ reference's positional addressing)."""
 
 from __future__ import annotations
 
+import os
+
 import ray.data as rd
 
 
@@ -50,8 +52,19 @@ def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
         if header:
             read_options = pacsv.ReadOptions()
         else:
-            # column names f0..fn, probed from the first line
-            with open(path, "rb") as f:
+            # column names f0..fn, probed from the first line; a
+            # directory of CSV shards (write_csv's layout) probes its
+            # first shard instead of open()ing the directory itself
+            probe = path
+            if os.path.isdir(path):
+                shards = sorted(
+                    f for f in os.listdir(path)
+                    if f.lower().endswith((".csv", ".tsv", ".txt"))
+                )
+                if not shards:
+                    raise FileNotFoundError(f"no CSV shards under {path}")
+                probe = os.path.join(path, shards[0])
+            with open(probe, "rb") as f:
                 first = f.readline().decode("utf-8", "replace").rstrip("\r\n")
             ncol = len(first.split(delim))
             read_options = pacsv.ReadOptions(
