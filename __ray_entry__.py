@@ -27,6 +27,9 @@ CDLP_ROUNDS = 5
 KCORE_K = 3
 KNN_QUERIES = [0, 1, 2, 3, 4]
 KNN_K = 10
+FLUID_S = 6
+FLUID_ROUNDS = 5
+RMB_K = 8
 
 # ---------------------------------------------------------------------------
 # flagship pipeline
@@ -772,39 +775,104 @@ ASP_CUTOFF = 3
 
 def q_graph_all_simple_paths(sf_dir):
     """all_simple_paths (yaml:278) from the min-id customer to the min-id
-    part, length <= 3, on the directed cp graph — frontier expansion with
-    a per-hop bucket join; paths keyed by their vertex sequence."""
+    part, length <= 3, on the directed cp graph. Per-hop bucket-join
+    frontier expansion (the sample_paths shape, algos/dfs.py:70): paths
+    ending at v meet v's out-edges in one groupby shuffle per hop; no
+    O(E) adjacency ever touches the driver — only the completed paths
+    (the result itself) are collected."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import partition_of
     from raylinkgraph.pipelines.tpch_graph import cpr_edges
 
-    e = (
-        cpr_edges(sf_dir).to_pandas().drop_duplicates(["src_id", "dst_id"])
-    )  # driver-sf enumeration; the per-hop bucket-join shape of
-    # sample_paths is the at-scale path for frontier expansion
-    src = int(e["src_id"].min())
-    dst = int(e[e["dst_id"] >= 10_000_000]["dst_id"].min())
-    import collections
+    B = 16
+    edges = cpr_edges(sf_dir)
+    src = int(edges.min("src_id"))
+    dst = int(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"d": b["dst_id"][b["dst_id"] >= 10_000_000]}
+            ),
+            batch_format="pandas",
+        ).min("d")
+    )
 
-    adj = collections.defaultdict(list)
-    for s, d in e[["src_id", "dst_id"]].itertuples(index=False, name=None):
-        adj[s].append(d)
-    out = []
-    frontier = [(src,)]
-    for _ in range(ASP_CUTOFF):
-        nxt = []
-        for p in frontier:
-            for d in adj.get(p[-1], ()):
-                if d in p:
-                    continue
-                q = p + (d,)
-                if d == dst:
-                    out.append(q)
-                else:
-                    nxt.append(q)
-        frontier = nxt
-    rows = []
-    for i, p in enumerate(sorted(out)):
-        for step, v in enumerate(p):
-            rows.append((i, step, v))
+    frontier = pd.DataFrame({"v0": np.array([src], np.int64)})
+    done: list[pd.DataFrame] = []
+    for hop in range(1, ASP_CUTOFF + 1):
+        vcols = [f"v{i}" for i in range(hop)]
+        newcol = f"v{hop}"
+
+        def tag_edges(b: pd.DataFrame, vcols=vcols) -> pd.DataFrame:
+            out = {c: np.full(len(b), -1, np.int64) for c in vcols}
+            out["k"] = b["src_id"].to_numpy(np.int64)
+            out["d"] = b["dst_id"].to_numpy(np.int64)
+            out["side"] = np.int8(1)
+            out["__b"] = partition_of(out["k"], B)
+            return pd.DataFrame(out)
+
+        def expand(g: pd.DataFrame, vcols=vcols, newcol=newcol) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in vcols + [newcol]}
+            )
+            ee = g[g["side"] == 1].drop_duplicates(["k", "d"])
+            ff = g[g["side"] == 0]
+            if not len(ee) or not len(ff):
+                return empty
+            # per-source cross product: paths ending at k x edges from k
+            ee = ee.sort_values(["k", "d"])
+            keys = ee["k"].to_numpy(np.int64)
+            ds_ = ee["d"].to_numpy(np.int64)
+            last = ff[vcols[-1]].to_numpy(np.int64)
+            lo = np.searchsorted(keys, last)
+            hi = np.searchsorted(keys, last, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                return empty
+            pidx = np.repeat(np.arange(len(ff)), cnt)
+            eidx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+            )
+            to = ds_[eidx]
+            out = {c: ff[c].to_numpy(np.int64)[pidx] for c in vcols}
+            keep = np.ones(len(to), np.bool_)
+            for c in vcols:  # simple-path constraint
+                keep &= out[c] != to
+            out = {c: a[keep] for c, a in out.items()}
+            out[newcol] = to[keep]
+            return pd.DataFrame(out)
+
+        fr = rd.from_pandas(
+            frontier.assign(
+                k=np.int64(-1), d=np.int64(-1), side=np.int8(0),
+                __b=partition_of(frontier[vcols[-1]].to_numpy(np.int64), B),
+            )
+        )
+        ext = (
+            fr.union(edges.map_batches(tag_edges, batch_format="pandas"))
+            .groupby("__b")
+            .map_groups(
+                lambda g: expand(g.drop(columns="__b")), batch_format="pandas"
+            )
+        ).to_pandas()
+        # completed paths leave the frontier; at scale this collect is the
+        # (small) result — frontiers stay in Dataset land until here only
+        # because ASP_CUTOFF caps them at the result's own size class
+        done.append(ext[ext[newcol] == dst])
+        frontier = ext[ext[newcol] != dst]
+        if not len(frontier):
+            break
+
+    paths = sorted(
+        tuple(int(x) for x in row)
+        for d in done
+        for row in d.itertuples(index=False, name=None)
+    )
+    rows = [
+        (i, step, v)
+        for i, p in enumerate(paths)
+        for step, v in enumerate(p)
+    ]
     return pd.DataFrame(rows, columns=["path_id", "step", "oid"]).astype(np.int64)
 
 
@@ -816,48 +884,70 @@ def q_graph_edge_cover(sf_dir):
     from raylinkgraph.bsp_actors import run_bsp_actors
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
 
+    from raylinkgraph.functions.hashing import partition_of
+
     g = get_graph(sf_dir, "pp")
     res = run_bsp_actors(
         g, MaximalMatching(), workdir_for(sf_dir, "mm"), max_rounds=600
     )
-    st = res.state_pandas()
-    mate = st["mate"].to_numpy(np.int64)
-    oid = st["oid"].to_numpy(np.int64)
+    B = 16
+    # fully distributed finalize: matching state rows and edges meet in
+    # one bucket join on hash(vertex); per bucket, matched pairs
+    # canonicalize and unmatched vertices take their min neighbor (all of
+    # v's out-edges land in v's bucket, so the per-bucket min is global);
+    # a final (a, b) groupby dedups the matched pair that two buckets
+    # both emit. Nothing O(V) on the driver until the result export.
 
-    # unmatched vertices take their min neighbor: one pre-combined shuffle
-    unmatched = set(oid[mate == -1].tolist())
-    import ray
+    def state_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": b["oid"].to_numpy(np.int64),
+             "d": b["mate"].to_numpy(np.int64), "side": np.int8(1)}
+        )
 
-    ref = ray.put(np.array(sorted(unmatched), np.int64))
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": b["src_id"].to_numpy(np.int64),
+             "d": b["dst_id"].to_numpy(np.int64), "side": np.int8(0)}
+        )
 
-    def minnbr(batch: pd.DataFrame) -> pd.DataFrame:
-        un = ray.get(ref)
-        s = batch["src_id"].to_numpy(np.int64)
-        d = batch["dst_id"].to_numpy(np.int64)
-        keep = np.isin(s, un)
-        if not keep.any():
-            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
-                                 "n": pd.Series([], dtype=np.int64)})
-        t = pd.DataFrame({"v": s[keep], "n": d[keep]})
-        r = t.groupby("v")["n"].min().reset_index()
-        return r
+    def fold(gr: pd.DataFrame) -> pd.DataFrame:
+        st = gr[gr["side"] == 1]
+        ee = gr[gr["side"] == 0]
+        oid = st["k"].to_numpy(np.int64)
+        mate = st["d"].to_numpy(np.int64)
+        m = mate >= 0
+        a = np.minimum(oid[m], mate[m])
+        b_ = np.maximum(oid[m], mate[m])
+        un = np.sort(oid[~m])
+        if len(un) and len(ee):
+            s = ee["k"].to_numpy(np.int64)
+            d = ee["d"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(un, s), len(un) - 1)
+            hit = un[pos] == s
+            if hit.any():
+                r = pd.DataFrame({"v": s[hit], "n": d[hit]}).groupby("v")["n"].min()
+                v = r.index.to_numpy(np.int64)
+                nb = r.to_numpy(np.int64)
+                a = np.concatenate([a, np.minimum(v, nb)])
+                b_ = np.concatenate([b_, np.maximum(v, nb)])
+        return pd.DataFrame({"a": a, "b": b_}).drop_duplicates()
 
-    extra = (
-        g.edges_ds().map_batches(minnbr, batch_format="pandas")
-        .groupby("v").min("n").to_pandas()
+    pairs = (
+        res.state_ds().map_batches(state_rows, batch_format="pandas")
+        .union(g.edges_ds().map_batches(edge_rows, batch_format="pandas"))
+        .map_batches(
+            lambda b: b.assign(__b=partition_of(b["k"].to_numpy(np.int64), B)),
+            batch_format="pandas",
+        )
+        .groupby("__b")
+        .map_groups(
+            lambda gr: fold(gr.drop(columns="__b")), batch_format="pandas"
+        )
+        .groupby(["a", "b"])
+        .map_groups(lambda gr: gr.head(1), batch_format="pandas")
     )
-    extra = extra.rename(columns={"min(n)": "n"})
-    pairs = set()
-    for a, b in zip(oid[mate >= 0], mate[mate >= 0]):
-        pairs.add((min(int(a), int(b)), max(int(a), int(b))))
-    for v, n in zip(extra["v"], extra["n"]):
-        if int(v) in unmatched:
-            pairs.add((min(int(v), int(n)), max(int(v), int(n))))
-    rows = sorted(pairs)
-    return pd.DataFrame(
-        {"a": np.array([r[0] for r in rows], np.int64),
-         "b": np.array([r[1] for r in rows], np.int64)}
-    )
+    out = pairs.to_pandas().astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_graph_kcenter(sf_dir):
@@ -929,6 +1019,172 @@ def q_graph_rectangles(sf_dir):
 
     g = get_graph(sf_dir, "pps")
     return pd.DataFrame({"rectangles": np.array([rectangle_count(g)], np.int64)})
+
+
+def q_graph_diamond(sf_dir):
+    """Diamond count (flash_diamond, yaml:489-569) on the induced pps
+    subgraph: sum over undirected edges of C(#triangles through edge, 2)."""
+    from raylinkgraph.algos.motifs import diamond_count
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    n = diamond_count(g, workdir_for(sf_dir, "motifs_pps"))
+    return pd.DataFrame({"diamonds": np.array([n], np.int64)})
+
+
+def q_graph_3path(sf_dir):
+    """3-path count (flash_3_path, apps/flash/subgraph/3-path.h:30-76) on
+    pps: sum over undirected edges of (deg(u)-1)(deg(v)-1) - 3*triangles."""
+    from raylinkgraph.algos.motifs import three_path_count
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    n = three_path_count(g, workdir_for(sf_dir, "motifs_pps"))
+    return pd.DataFrame({"paths3": np.array([n], np.int64)})
+
+
+def q_graph_kclique4(sf_dir):
+    """4-clique count (flash_k_clique, apps/flash/subgraph/k-clique.h:44)
+    on pps via the oriented triangle -> extend -> two semi-joins dataflow."""
+    from raylinkgraph.algos.motifs import k_clique4_count
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    n = k_clique4_count(g, workdir_for(sf_dir, "motifs_pps"))
+    return pd.DataFrame({"cliques4": np.array([n], np.int64)})
+
+
+def q_graph_fluid(sf_dir):
+    """Fluid communities (flash_fluid_community, yaml:615-628), pinned
+    deterministic variant on the pp graph: seeds = the FLUID_S smallest
+    part ids, FLUID_ROUNDS synchronous rounds, exact rational density
+    comparison, own-label-wins-ties."""
+    from raylinkgraph.algos.fluid import run_fluid
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    df = run_fluid(
+        g, workdir_for(sf_dir, "fluid"), s=FLUID_S, rounds=FLUID_ROUNDS
+    )
+    return df.sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_dominating_set(sf_dir):
+    """Greedy minimum dominating set (flash_min_dominating_set,
+    yaml:370-443): 2-hop (residual-degree, id) maxima join the set and
+    dominate their neighborhoods until every vertex is dominated."""
+    from raylinkgraph.algos.covering import MinDominatingSet
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    from raylinkgraph.bsp_actors import run_bsp_actors
+
+    g = get_graph(sf_dir, "pps")
+    res = run_bsp_actors(
+        g, MinDominatingSet(), workdir_for(sf_dir, "mds"), max_rounds=400
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"].to_numpy(np.int64),
+         "in_set": df["in_set"].to_numpy(np.bool_).astype(np.int64)}
+    ).sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_vertex_cover(sf_dir):
+    """Greedy vertex cover (flash_min_cover_greedy,
+    apps/flash/matching/min-cover-greedy.h:31-95): strict (residual
+    degree, id) local maxima join the cover until no uncovered edge."""
+    from raylinkgraph.algos.covering import MinVertexCover
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    from raylinkgraph.bsp_actors import run_bsp_actors
+
+    g = get_graph(sf_dir, "pps")
+    res = run_bsp_actors(
+        g, MinVertexCover(), workdir_for(sf_dir, "mvc"), max_rounds=400
+    )
+    df = res.state_pandas()
+    return pd.DataFrame(
+        {"oid": df["oid"].to_numpy(np.int64),
+         "in_cover": df["c"].to_numpy(np.bool_).astype(np.int64)}
+    ).sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_multi_bfs(sf_dir):
+    """random_multi_bfs (yaml:650-709, pinned sources = RMB_K smallest
+    ids) on pp: per vertex the MAX distance over reaching sources, -1
+    when unreached."""
+    from raylinkgraph.algos.centrality import run_random_multi_bfs
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    df = run_random_multi_bfs(g, workdir_for(sf_dir, "rmb"), k=RMB_K)
+    return df.sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_densest(sf_dir):
+    """flash_densest_sub_2_approx (yaml:553-569) on pp: max-core subgraph
+    of the degeneracy order; density reported exactly as the reference
+    computes it (ne counts both directions)."""
+    from raylinkgraph.algos.kshell import densest_subgraph_2approx
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    r = densest_subgraph_2approx(g, workdir_for(sf_dir, "densest"))
+    return pd.DataFrame(
+        {"cmax": np.array([r["cmax"]], np.int64),
+         "nv": np.array([r["nv"]], np.int64),
+         "ne": np.array([r["ne"]], np.int64),
+         "density_e6": _rank_e6(np.array([r["density"]]))}
+    )
+
+
+def q_graph_bcc(sf_dir):
+    """Biconnected components (flash_bcc, yaml:762-769) on the sparse ppx
+    graph: per undirected edge its BCC id (the minimum canonical edge key
+    in the class)."""
+    return _bcc_memo(sf_dir)["edges"].reset_index(drop=True)
+
+
+_BCC_CACHE: dict = {}
+
+
+def _bcc_memo(sf_dir):
+    key = os.path.abspath(sf_dir)
+    if key not in _BCC_CACHE:
+        from raylinkgraph.algos.bcc import run_bcc
+        from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+        g = get_graph(sf_dir, "ppx")
+        _BCC_CACHE[key] = run_bcc(g, workdir_for(sf_dir, "bcc"))
+    return _BCC_CACHE[key]
+
+
+def q_graph_bridges(sf_dir):
+    """Bridges (flash_bridge, yaml:790-814) on ppx: tree edges whose BCC
+    class contains exactly one edge."""
+    return _bcc_memo(sf_dir)["bridges"].reset_index(drop=True)
+
+
+def q_graph_cutpoints(sf_dir):
+    """Articulation points (flash_cut_point, yaml:790-814) on ppx:
+    vertices whose incident edges span >= 2 BCC classes."""
+    return _bcc_memo(sf_dir)["cutpoints"].reset_index(drop=True)
+
+
+def q_doc_ngram_pairs(sf_dir):
+    """Exact word-3-gram Jaccard verification over MinHash-LSH candidate
+    pairs (rows-only: LSH candidate recall is probabilistic by design;
+    the verify kernel is pinned by pytest)."""
+    from raylinkgraph.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n=3, threshold=0.4
+    ).to_pandas()
+    out = pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    out["jaccard_e6"] = _rank_e6(out["jaccard"].to_numpy())
+    return out[["a", "b", "jaccard_e6"]].astype(np.int64)
 
 
 def q_graph_matching(sf_dir):
@@ -1245,7 +1501,45 @@ def q_pages_pagerank(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER: (1) the 18 queries without a round-2 CORRECTNESS row run
+    # first so a capped driver re-verifies them; (2) the round-3
+    # additions; (3) the 50 queries green in round 2.
     return {
+        # -- (1) no round-2 oracle rows ---------------------------------
+        "rel_csv_roundtrip": q_rel_csv_roundtrip,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_char_stats": q_doc_char_stats,
+        "doc_lang_distribution": q_doc_lang_distribution,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "events_by_type": q_events_by_type,
+        "events_sessions": q_events_sessions,
+        "events_tumbling": q_events_tumbling,
+        "events_asof_prev": q_events_asof_prev,
+        "media_features": q_media_features,
+        "pages_pagerank": q_pages_pagerank,
+        "rel_orders_by_status": q_rel_orders_by_status,
+        "rel_top_parts": q_rel_top_parts,
+        # -- (2) round-3 additions --------------------------------------
+        "graph_bcc": q_graph_bcc,
+        "graph_bridges": q_graph_bridges,
+        "graph_cutpoints": q_graph_cutpoints,
+        "graph_fluid": q_graph_fluid,
+        "graph_dominating_set": q_graph_dominating_set,
+        "graph_vertex_cover": q_graph_vertex_cover,
+        "graph_multi_bfs": q_graph_multi_bfs,
+        "graph_densest": q_graph_densest,
+        "graph_diamond": q_graph_diamond,
+        "graph_3path": q_graph_3path,
+        "graph_kclique4": q_graph_kclique4,
+        "doc_ngram_pairs": q_doc_ngram_pairs,
+        # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,
         "graph_in_degrees": q_graph_in_degrees,
@@ -1294,26 +1588,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_msf": q_graph_msf,
         "graph_kcenter": q_graph_kcenter,
         "graph_coloring": q_graph_coloring,
-        "rel_orders_by_status": q_rel_orders_by_status,
-        "rel_top_parts": q_rel_top_parts,
-        "rel_csv_roundtrip": q_rel_csv_roundtrip,
-        "doc_token_counts": q_doc_token_counts,
-        "doc_char_stats": q_doc_char_stats,
-        "doc_lang_distribution": q_doc_lang_distribution,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_quality": q_doc_quality,
-        "doc_langid": q_doc_langid,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "events_by_type": q_events_by_type,
-        "events_sessions": q_events_sessions,
-        "events_tumbling": q_events_tumbling,
-        "events_asof_prev": q_events_asof_prev,
-        "media_features": q_media_features,
-        "pages_pagerank": q_pages_pagerank,
     }
 
 
@@ -2502,6 +2776,285 @@ ORDER BY query_id, rnk
 """
 
 
+_UEDGES_PPS = (
+    f"SELECT u AS s, v AS d FROM ({_PPS_EDGES}) "
+    f"UNION SELECT v, u FROM ({_PPS_EDGES})"
+)
+
+
+def _multi_bfs_sql(rounds: int, n_src: int) -> str:
+    """random_multi_bfs replay: per vertex the MAX distance over the
+    n_src smallest-id sources that reach it, -1 unreached (algos/
+    centrality.py MaxMSBFS — max_d = last round a new bit arrives =
+    max over reaching sources of the BFS distance)."""
+    ctes = _msbfs_ctes(rounds, n_src)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT mverts.v AS oid, CAST(COALESCE(mx.d, -1) AS BIGINT) AS res
+FROM mverts LEFT JOIN (
+  SELECT v, MAX(dist) AS d FROM p{rounds} GROUP BY v
+) mx ON mx.v = mverts.v ORDER BY oid
+"""
+    )
+
+
+def _fluid_sql(rounds: int, s: int) -> str:
+    """Exact replay of FluidCommunities (algos/fluid.py): seeds = the s
+    smallest pp vertex ids labeled by rank; per round m_i = labeled-i
+    neighbors + own indicator, cnt_i = community size from the PREVIOUS
+    round, and the winner is the engine's ascending strict-improvement
+    scan (own label wins ties; exact int64 cross-multiplied densities),
+    rendered as a per-label CASE cascade."""
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PP})",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        f"seeds AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 "
+        f"AS i FROM (SELECT v FROM mverts ORDER BY v LIMIT {s}))",
+        "lab0 AS MATERIALIZED (SELECT mverts.v, COALESCE(seeds.i, -1) AS lab "
+        "FROM mverts LEFT JOIN seeds ON seeds.v = mverts.v)",
+    ]
+    for r in range(rounds):
+        # community sizes from the previous round's labels (the engine's
+        # carried scalars), pivoted to one row of s columns
+        ctes.append(
+            f"cnt{r} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"COALESCE(SUM(CASE WHEN lab = {i} THEN 1 ELSE 0 END), 0) AS c{i}"
+                for i in range(s)
+            )
+            + f" FROM lab{r})"
+        )
+        # per-vertex neighbor label counts + own-label indicator
+        ctes.append(
+            f"mv{r} AS MATERIALIZED (SELECT l.v, l.lab, "
+            + ", ".join(
+                f"COALESCE(nb.n{i}, 0) + (CASE WHEN l.lab = {i} THEN 1 ELSE 0 END) "
+                f"AS m{i}"
+                for i in range(s)
+            )
+            + f" FROM lab{r} l LEFT JOIN (SELECT e.s AS v, "
+            + ", ".join(
+                f"SUM(CASE WHEN l2.lab = {i} THEN 1 ELSE 0 END) AS n{i}"
+                for i in range(s)
+            )
+            + f" FROM uedges e JOIN lab{r} l2 ON l2.v = e.d GROUP BY e.s) nb "
+            "ON nb.v = l.v)"
+        )
+        # the scan: b_0 = own label; step i switches on strict density win
+        mcols = ", ".join(f"m{i}" for i in range(s))
+        ctes.append(
+            f"b{r}_0 AS (SELECT v, lab AS best, "
+            "CASE WHEN lab >= 0 THEN ("
+            + " ".join(
+                f"CASE WHEN lab = {i} THEN m{i} ELSE 0 END +" for i in range(s)
+            )
+            + " 0) ELSE 0 END AS bm, "
+            "CASE WHEN lab >= 0 THEN ("
+            + " ".join(
+                f"CASE WHEN lab = {i} THEN (SELECT c{i} FROM cnt{r}) ELSE 0 END +"
+                for i in range(s)
+            )
+            + f" 0) ELSE 1 END AS bc, {mcols} FROM mv{r})"
+        )
+        for i in range(s):
+            cond = (
+                f"(SELECT c{i} FROM cnt{r}) > 0 AND m{i} > 0 AND best <> {i} "
+                f"AND (best < 0 OR m{i} * bc > bm * (SELECT c{i} FROM cnt{r}))"
+            )
+            ctes.append(
+                f"b{r}_{i+1} AS (SELECT v, "
+                f"CASE WHEN {cond} THEN {i} ELSE best END AS best, "
+                f"CASE WHEN {cond} THEN m{i} ELSE bm END AS bm, "
+                f"CASE WHEN {cond} THEN (SELECT c{i} FROM cnt{r}) ELSE bc END "
+                f"AS bc, {mcols} FROM b{r}_{i})"
+            )
+        ctes.append(
+            f"lab{r+1} AS MATERIALIZED (SELECT v, best AS lab FROM b{r}_{s})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(lab AS BIGINT) AS lab FROM lab{rounds} "
+        "ORDER BY oid"
+    )
+
+
+def _dominating_set_sql(sel_rounds: int) -> str:
+    """Exact replay of MinDominatingSet (algos/covering.py) on pps: per
+    selection round two max-key hops over undominated vertices, 2-hop
+    maxima join the set and dominate their neighborhoods, residual
+    degrees recount. Over-unrolling is a no-op once everything is
+    dominated, so ``sel_rounds`` only needs to exceed the engine's
+    observed count (20 at sf=0.01; pps is capped at 500 vertices, so
+    the count cannot grow with sf)."""
+    SHIFT = 1 << 32
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PPS_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PPS})",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS d FROM uedges GROUP BY s)",
+        f"st0 AS MATERIALIZED (SELECT mverts.v, deg.d * {SHIFT} + mverts.v "
+        "AS maxk, FALSE AS dom, FALSE AS in_set "
+        "FROM mverts JOIN deg ON deg.v = mverts.v)",
+    ]
+    for r in range(sel_rounds):
+        p, q = f"st{r}", f"st{r}"
+        # phase 0 + 1: two hops of max over undominated neighbors' keys
+        for h in range(2):
+            nxt = f"h{r}_{h}"
+            ctes.append(
+                f"{nxt} AS MATERIALIZED (SELECT s.v, "
+                f"CASE WHEN NOT s.dom AND agg.mk > s.maxk THEN agg.mk "
+                f"ELSE s.maxk END AS maxk, s.dom, s.in_set FROM {q} s "
+                f"LEFT JOIN (SELECT e.s AS v, MAX(s2.maxk) AS mk FROM uedges e "
+                f"JOIN {q} s2 ON s2.v = e.d AND NOT s2.dom GROUP BY e.s) agg "
+                "ON agg.v = s.v)"
+            )
+            q = nxt
+        # select 2-hop maxima (key's id part == own id)
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT v FROM {q} "
+            f"WHERE NOT dom AND maxk % {SHIFT} = v)"
+        )
+        # phase 2: selected dominate their neighborhoods
+        ctes.append(
+            f"dm{r} AS MATERIALIZED (SELECT s.v, s.maxk, "
+            f"(s.dom OR sel.v IS NOT NULL OR nb.v IS NOT NULL) AS dom, "
+            f"(s.in_set OR sel.v IS NOT NULL) AS in_set FROM {q} s "
+            f"LEFT JOIN sel{r} sel ON sel.v = s.v "
+            f"LEFT JOIN (SELECT DISTINCT e.s AS v FROM uedges e "
+            f"JOIN sel{r} x ON x.v = e.d) nb ON nb.v = s.v)"
+        )
+        # phase 3: undominated recount undominated neighbors
+        ctes.append(
+            f"st{r+1} AS MATERIALIZED (SELECT s.v, CASE WHEN s.dom THEN s.maxk "
+            f"ELSE COALESCE(cnt.c, 0) * {SHIFT} + s.v END AS maxk, "
+            f"s.dom, s.in_set FROM dm{r} s "
+            f"LEFT JOIN (SELECT e.s AS v, COUNT(*) AS c FROM uedges e "
+            f"JOIN dm{r} s2 ON s2.v = e.d AND NOT s2.dom GROUP BY e.s) cnt "
+            "ON cnt.v = s.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(CASE WHEN in_set THEN 1 ELSE 0 END "
+        f"AS BIGINT) AS in_set FROM st{sel_rounds} ORDER BY oid"
+    )
+
+
+def _vertex_cover_sql(sel_rounds: int) -> str:
+    """Exact replay of MinVertexCover (algos/covering.py) on pps: active
+    vertices that strictly beat every active neighbor's (resid, id) key
+    join the cover; neighbors' residuals drop by newly covered
+    neighbors. Over-unrolling is a no-op (engine: 42 selection rounds at
+    sf=0.01; pps is capped at 500 vertices)."""
+    SHIFT = 1 << 32
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PPS_EDGES})",
+        f"uedges AS MATERIALIZED ({_UEDGES_PPS})",
+        "mverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uedges)",
+        "deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS d FROM uedges GROUP BY s)",
+        "vc0 AS MATERIALIZED (SELECT mverts.v, deg.d AS resid, FALSE AS c "
+        "FROM mverts JOIN deg ON deg.v = mverts.v)",
+    ]
+    for r in range(sel_rounds):
+        # phase 0: strict local maxima among active vertices join
+        ctes.append(
+            f"cs{r} AS MATERIALIZED (SELECT s.v FROM vc{r} s "
+            f"LEFT JOIN (SELECT e.s AS v, MAX(s2.resid * {SHIFT} + s2.v) AS mk "
+            f"FROM uedges e JOIN vc{r} s2 ON s2.v = e.d "
+            f"AND NOT s2.c AND s2.resid > 0 GROUP BY e.s) agg ON agg.v = s.v "
+            f"WHERE NOT s.c AND s.resid > 0 "
+            f"AND s.resid * {SHIFT} + s.v > COALESCE(agg.mk, -1))"
+        )
+        # phase 1: residuals drop by newly covered neighbors
+        ctes.append(
+            f"vc{r+1} AS MATERIALIZED (SELECT s.v, "
+            f"s.resid - COALESCE(dec.n, 0) AS resid, "
+            f"(s.c OR sel.v IS NOT NULL) AS c FROM vc{r} s "
+            f"LEFT JOIN cs{r} sel ON sel.v = s.v "
+            f"LEFT JOIN (SELECT e.s AS v, COUNT(*) AS n FROM uedges e "
+            f"JOIN cs{r} x ON x.v = e.d GROUP BY e.s) dec ON dec.v = s.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(CASE WHEN c THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS in_cover FROM vc{sel_rounds} ORDER BY oid"
+    )
+
+
+def _densest_sql(rounds: int) -> str:
+    """flash_densest_sub_2_approx replay: S = the max-core subgraph from
+    the H-index core numbers (same CTE chain as graph_corenum); nv = |S|,
+    ne = directed adjacent pairs within S (2x undirected, exactly as the
+    reference counts it), density = ne / nv."""
+    ctes = _corenum_sql(rounds).split("\nSELECT", 1)[0]
+    return (
+        ctes
+        + f""",
+cm AS (SELECT MAX(c) AS cmax FROM c{rounds}),
+s AS MATERIALIZED (SELECT v FROM c{rounds} WHERE c = (SELECT cmax FROM cm)),
+ne AS (SELECT COUNT(*) AS ne FROM uedges e
+       JOIN s a ON a.v = e.s JOIN s b ON b.v = e.d)
+SELECT (SELECT cmax FROM cm) AS cmax,
+       (SELECT COUNT(*) FROM s) AS nv,
+       (SELECT ne FROM ne) AS ne,
+       CAST(FLOOR((SELECT ne FROM ne)::DOUBLE / (SELECT COUNT(*) FROM s)
+            * 1e6 + 0.5) AS BIGINT) AS density_e6
+"""
+    )
+
+
+def _diamond_sql() -> str:
+    """flash_diamond: sum over undirected pps edges of C(t_e, 2)."""
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PPS}),
+te AS (
+  SELECT e.u, e.v, COUNT(*) AS t FROM pedges e
+  JOIN uedges a ON a.s = e.u
+  JOIN uedges b ON b.s = e.v AND b.d = a.d
+  GROUP BY e.u, e.v
+)
+SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS diamonds FROM te
+"""
+
+
+def _three_path_sql() -> str:
+    """flash_3_path: sum over undirected pps edges of
+    (deg(u)-1)(deg(v)-1) minus 3x the triangle count."""
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PPS}),
+deg AS (SELECT s AS v, COUNT(*) AS d FROM uedges GROUP BY s),
+tri AS (
+  SELECT COUNT(*) AS n FROM pedges e1
+  JOIN pedges e2 ON e2.u = e1.v
+  JOIN pedges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ew AS (
+  SELECT SUM((du.d - 1) * (dv.d - 1)) AS w FROM pedges e
+  JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v
+)
+SELECT CAST(COALESCE((SELECT w FROM ew), 0)
+       - 3 * (SELECT n FROM tri) AS BIGINT) AS paths3
+"""
+
+
+def _kclique4_sql() -> str:
+    """flash_k_clique (k=4): each 4-clique counted once at its sorted
+    vertex order u < v < w < x over canonical pps edges."""
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES})
+SELECT CAST(COUNT(*) AS BIGINT) AS cliques4 FROM pedges e1
+JOIN pedges e2 ON e2.u = e1.v
+JOIN pedges e3 ON e3.u = e1.u AND e3.v = e2.v
+JOIN pedges e4 ON e4.u = e2.v
+JOIN pedges e5 ON e5.u = e1.u AND e5.v = e4.v
+JOIN pedges e6 ON e6.u = e1.v AND e6.v = e4.v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"SELECT * FROM ({_EDGES}) ORDER BY src_id, dst_id",
@@ -2562,6 +3115,21 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc": _lcc_sql(),
         "graph_transitivity": _transitivity_sql(),
         "graph_assortativity": _assortativity_sql(),
+        # round-3 additions. MDS/MVC replay selection rounds with margin
+        # over the engine's observed count (20 / 42 at sf=0.01) —
+        # over-unrolling is a converged no-op, and pps is capped at 500
+        # vertices so the counts cannot grow with sf. bcc / bridges /
+        # cutpoints are rows-only by design (biconnectivity needs a
+        # spanning-forest decomposition no fixed-depth SQL expresses;
+        # pinned against a sequential Tarjan replay in tests/test_bcc.py).
+        "graph_fluid": _fluid_sql(FLUID_ROUNDS, FLUID_S),
+        "graph_dominating_set": _dominating_set_sql(30),
+        "graph_vertex_cover": _vertex_cover_sql(60),
+        "graph_multi_bfs": _multi_bfs_sql(8, RMB_K),
+        "graph_densest": _densest_sql(30),
+        "graph_diamond": _diamond_sql(),
+        "graph_3path": _three_path_sql(),
+        "graph_kclique4": _kclique4_sql(),
         "rel_orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n, "
             "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "

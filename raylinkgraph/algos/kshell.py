@@ -145,7 +145,8 @@ def run_core_number(
     return df.reset_index(drop=True)
 
 
-def densest_subgraph_2approx(graph: LinkGraph, workdir: str) -> dict:
+def densest_subgraph_2approx(graph: LinkGraph, workdir: str, *,
+                             engine: str = "dataset") -> dict:
     """flash_densest_sub_2_approx (.gs_conf.yaml:553-569,
     apps/flash/subgraph/densest-sub-2-approx.h:46-110): take the max-core
     subgraph of the degeneracy ordering; density is reported exactly as
@@ -160,11 +161,15 @@ def densest_subgraph_2approx(graph: LinkGraph, workdir: str) -> dict:
 
     from raylinkgraph.functions.hashing import partition_of
 
-    from raylinkgraph.bsp import run_bsp
+    if engine == "actors":
+        from raylinkgraph.bsp_actors import run_bsp_actors as runner
+    else:
+        from raylinkgraph.bsp import run_bsp as runner
 
-    res = run_bsp(
-        graph, CoreDecompose(graph.P), os.path.join(workdir, "core"),
-        max_rounds=100_000,
+    # ``workdir`` may point at an existing CoreDecompose job (e.g. the
+    # corenum query's): identical lineage makes the peel resume instantly
+    res = runner(
+        graph, CoreDecompose(graph.P), workdir, max_rounds=100_000,
     )
     state = res.state_ds()  # (oid, core, ...) per-partition parquet
     cmax = int(state.max("core"))

@@ -301,6 +301,24 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
                 ),
                 gdir, P=P, symmetrize=True, weight_col="weight",
             )
+        elif kind == "ppx":
+            # deterministic hash-thinned pp subgraph (~2% of edges):
+            # sparse enough that biconnectivity structure (bridges,
+            # articulation points, multiple components) actually exists.
+            # The filter is canonical in (min, max) so it commutes with
+            # symmetrization and is reproducible in plain SQL.
+            def thin(batch: pa.Table) -> pa.Table:
+                s = batch.column("src_id").to_numpy(zero_copy_only=False)
+                d = batch.column("dst_id").to_numpy(zero_copy_only=False)
+                u = np.minimum(s, d)
+                v = np.maximum(s, d)
+                keep = (u * 2654435761 + v * 40503) % 100 < 2
+                return batch.filter(pa.array(keep))
+
+            g = LinkGraph.build(
+                pp_edges(sf_dir).map_batches(thin, batch_format="pyarrow"),
+                gdir, P=P, symmetrize=True,
+            )
         elif kind == "cpw_und":
             # weighted bipartite: weight = lineitem rows per (cust, part),
             # symmetrized for alternating u2i / i2u propagation
