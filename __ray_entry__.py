@@ -1638,6 +1638,31 @@ def _pagerank_sql(rounds: int, alpha: float) -> str:
     )
 
 
+_CONV_OK = "(SELECT ok FROM _conv) = 1"
+
+
+def _conv_guard(name: str, cur: str, prev: str, key: str, col: str | None) -> str:
+    """One-line CTE asserting an unrolled fixpoint oracle actually
+    converged: round ``cur`` must equal round ``prev`` — value-equality on
+    ``col``, or set-equality via COUNT when ``col`` is None (monotone
+    frontiers / shrinking cores, where equal cardinality implies equal
+    sets). If not, the oracle raises loudly via error() instead of
+    silently returning a truncated fixpoint that would be blamed on the
+    engine (round-2 VERDICT #7: a larger-diameter input must fail the
+    ORACLE visibly, not corrupt the comparison)."""
+    if col is None:
+        cond = f"(SELECT COUNT(*) FROM {cur}) <> (SELECT COUNT(*) FROM {prev})"
+    else:
+        cond = (
+            f"EXISTS (SELECT 1 FROM {cur} _a JOIN {prev} _b ON _a.{key} = _b.{key} "
+            f"WHERE _a.{col} IS DISTINCT FROM _b.{col})"
+        )
+    return (
+        f"_conv AS (SELECT CASE WHEN {cond} THEN "
+        f"error('{name} oracle: unroll depth insufficient') ELSE 1 END AS ok)"
+    )
+
+
 def _wcc_sql(rounds: int) -> str:
     ctes = [
         f"edges AS MATERIALIZED ({_EDGES})",
@@ -1653,9 +1678,10 @@ def _wcc_sql(rounds: int) -> str:
             f"FROM c{i} c LEFT JOIN (SELECT e.d AS v, MIN(c2.comp) AS mn "
             f"FROM uedges e JOIN c{i} c2 ON e.s = c2.v GROUP BY e.d) m ON m.v = c.v)"
         )
+    ctes.append(_conv_guard("wcc", f"c{rounds}", f"c{rounds-1}", "v", "comp"))
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT v AS oid, comp FROM c{rounds} ORDER BY oid"
+        + f"\nSELECT v AS oid, comp FROM c{rounds} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -1687,7 +1713,10 @@ def _cdlp_sql(rounds: int) -> str:
     )
 
 
-def _bfs_sql(rounds: int) -> str:
+def _bfs_sql(rounds: int, *, check: bool = True) -> str:
+    """``check=False`` only for the depth-LIMITED BFS variant, where
+    ``rounds`` is the query's semantic depth limit, not a guessed
+    fixpoint unroll."""
     ctes = [
         f"edges AS MATERIALIZED ({_EDGES})",
         "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
@@ -1707,9 +1736,13 @@ def _bfs_sql(rounds: int) -> str:
             f"ELSE LEAST(d.dist, m{i}.nd) END AS dist "
             f"FROM d{i} d LEFT JOIN m{i} ON m{i}.v = d.v)"
         )
+    guard = ""
+    if check:
+        ctes.append(_conv_guard("bfs", f"d{rounds}", f"d{rounds-1}", "v", "dist"))
+        guard = f" AND {_CONV_OK}"
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT v AS oid, dist FROM d{rounds} WHERE dist IS NOT NULL ORDER BY oid"
+        + f"\nSELECT v AS oid, dist FROM d{rounds} WHERE dist IS NOT NULL{guard} ORDER BY oid"
     )
 
 
@@ -1740,6 +1773,7 @@ def _sssp_ctes(rounds: int) -> list[str]:
             f"ELSE LEAST(d.dist, sm{i}.nd) END AS dist "
             f"FROM s{i} d LEFT JOIN sm{i} ON sm{i}.v = d.v)"
         )
+    ctes.append(_conv_guard("sssp", f"s{rounds}", f"s{rounds-1}", "v", "dist"))
     return ctes
 
 
@@ -1748,7 +1782,7 @@ def _sssp_sql(rounds: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, CAST(dist AS BIGINT) AS dist FROM s{rounds} "
-        "WHERE dist IS NOT NULL ORDER BY oid"
+        f"WHERE dist IS NOT NULL AND {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -1779,7 +1813,7 @@ def _sssp_path_sql(rounds: int, hops: int) -> str:
         + f"""
 SELECT (SELECT MAX(back) FROM steps) - back AS seq, st.v AS oid,
   CAST(d.dist AS BIGINT) AS dist
-FROM steps st JOIN {R} d ON d.v = st.v ORDER BY seq
+FROM steps st JOIN {R} d ON d.v = st.v WHERE {_CONV_OK} ORDER BY seq
 """
     )
 
@@ -1794,7 +1828,7 @@ SELECT COUNT(dist)::BIGINT AS n_reached,
   CAST(FLOOR(SUM(dist) / COUNT(dist) * 1e6 + 0.5) AS BIGINT) AS avg_dist_e6,
   SUM(CASE WHEN v = (SELECT MAX(v) FROM verts) AND dist IS NOT NULL
       THEN 1 ELSE 0 END)::BIGINT AS has_path_to_max
-FROM {R}
+FROM {R} WHERE {_CONV_OK}
 """
     )
 
@@ -1941,15 +1975,16 @@ def _corenum_sql(rounds: int) -> str:
             f"c{t+1} AS MATERIALIZED (SELECT v, MAX(LEAST(c, rn)) AS c "
             f"FROM nb{t} GROUP BY v)"
         )
+    ctes.append(_conv_guard("corenum", f"c{rounds}", f"c{rounds-1}", "v", "c"))
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT v AS oid, c AS core FROM c{rounds} ORDER BY oid"
+        + f"\nSELECT v AS oid, c AS core FROM c{rounds} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
 def _degeneracy_sql(rounds: int) -> str:
     ctes = _corenum_sql(rounds).split("\nSELECT", 1)[0]
-    return ctes + f"\nSELECT MAX(c) AS degeneracy FROM c{rounds}"
+    return ctes + f"\nSELECT MAX(c) AS degeneracy FROM c{rounds} WHERE {_CONV_OK}"
 
 
 def _articlerank_sql(rounds: int, alpha: float) -> str:
@@ -2130,12 +2165,20 @@ def _diameter_sql(rounds: int) -> str:
             f"FROM f{i} x LEFT JOIN fm{i} ON fm{i}.v = x.v)"
         )
     R2 = f"f{rounds}"
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM e{rounds} _a "
+        f"JOIN e{rounds-1} _b ON _a.v = _b.v WHERE _a.dist IS DISTINCT FROM _b.dist) "
+        f"OR EXISTS (SELECT 1 FROM {R2} _a JOIN f{rounds-1} _b ON _a.v = _b.v "
+        f"WHERE _a.dist IS DISTINCT FROM _b.dist) THEN "
+        f"error('diameter oracle: unroll depth insufficient') ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
 SELECT (SELECT s FROM src1) AS source, (SELECT v FROM far) AS far_vertex,
   (SELECT dist FROM far) AS ecc1,
   (SELECT MAX(dist) FROM {R2}) AS diameter_lb
+WHERE {_CONV_OK}
 """
     )
 
@@ -2148,7 +2191,7 @@ def _apsp_sql(rounds: int, n_src: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT s AS src, v AS oid, CAST(dist AS BIGINT) AS dist "
-        f"FROM p{rounds} ORDER BY src, oid"
+        f"FROM p{rounds} WHERE {_CONV_OK} ORDER BY src, oid"
     )
 
 
@@ -2190,10 +2233,16 @@ def _mis_sql(luby_rounds: int) -> str:
             f"FROM ms{l} s LEFT JOIN sel{l} sel ON sel.v = s.v "
             f"LEFT JOIN excl{l} ex ON ex.v = s.v)"
         )
+    # converged when no vertex is still undecided (st = 0)
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM ms{luby_rounds} "
+        f"WHERE st = 0) THEN error('mis oracle: luby round unroll insufficient') "
+        f"ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, CAST(CASE WHEN st = 1 THEN 1 ELSE 0 END AS BIGINT) "
-        f"AS in_mis FROM ms{luby_rounds} ORDER BY oid"
+        f"AS in_mis FROM ms{luby_rounds} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -2201,7 +2250,7 @@ def _is_simple_path_sql() -> str:
     base = _sssp_path_sql(15, 20).split("\nSELECT", 1)[0]
     return (
         base
-        + """
+        + f"""
 , pseq AS MATERIALIZED (
   SELECT (SELECT MAX(back) FROM steps) - back AS seq, v FROM steps)
 SELECT CAST(CASE WHEN
@@ -2211,6 +2260,7 @@ SELECT CAST(CASE WHEN
       LEFT JOIN uw e ON e.s = a.v AND e.d = b.v WHERE e.s IS NULL)
   THEN 1 ELSE 0 END AS BIGINT) AS is_path,
   (SELECT COUNT(*) FROM pseq)::BIGINT AS n_nodes
+WHERE {_CONV_OK}
 """
     )
 
@@ -2602,9 +2652,23 @@ def _scc_sql(phases: int, rounds: int) -> str:
             f"FROM st{p} s JOIN f{p}_{rounds} f ON f.v = s.v "
             f"JOIN b{p}_{rounds} b ON b.v = s.v)"
         )
+    # converged when every vertex settled AND every phase's f/b min-label
+    # propagation reached its own fixpoint (a truncated inner unroll could
+    # otherwise settle a vertex on a wrong label)
+    conds = [f"EXISTS (SELECT 1 FROM st{phases} WHERE scc IS NULL)"]
+    for p in range(phases):
+        for t in ("f", "b"):
+            conds.append(
+                f"EXISTS (SELECT 1 FROM {t}{p}_{rounds} _a JOIN {t}{p}_{rounds-1} _b "
+                f"ON _a.v = _b.v WHERE _a.lab IS DISTINCT FROM _b.lab)"
+            )
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN {' OR '.join(conds)} THEN "
+        f"error('scc oracle: phase/round unroll insufficient') ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT v AS oid, scc FROM st{phases} ORDER BY oid"
+        + f"\nSELECT v AS oid, scc FROM st{phases} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -2629,6 +2693,9 @@ def _msbfs_ctes(rounds: int, n_src: int, edges_sql: str | None = None) -> list[s
             f"SELECT s, v, dist FROM p{i} UNION ALL "
             f"SELECT s, v, nd FROM pm{i}) GROUP BY s, v)"
         )
+    # monotone growing (s, v) reach set with first-touch-final dists:
+    # equal cardinality implies an empty frontier, hence convergence
+    ctes.append(_conv_guard("msbfs", f"p{rounds}", f"p{rounds-1}", "v", None))
     return ctes
 
 
@@ -2639,7 +2706,7 @@ def _closeness_sql(rounds: int, n_src: int) -> str:
         + f"""
 SELECT v AS oid, COUNT(*) AS reached,
   CAST(FLOOR(COUNT(*)::DOUBLE / SUM(dist) * 1e6 + 0.5) AS BIGINT) AS closeness_e6
-FROM p{rounds} GROUP BY v HAVING SUM(dist) > 0 ORDER BY oid
+FROM p{rounds} WHERE {_CONV_OK} GROUP BY v HAVING SUM(dist) > 0 ORDER BY oid
 """
     )
 
@@ -2652,7 +2719,7 @@ def _harmonic_sql(rounds: int, n_src: int) -> str:
 SELECT v AS oid,
   CAST(FLOOR(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0 / dist END), 0) * 1e6 + 0.5)
        AS BIGINT) AS harmonic_e6
-FROM p{rounds} GROUP BY v ORDER BY oid
+FROM p{rounds} WHERE {_CONV_OK} GROUP BY v ORDER BY oid
 """
     )
 
@@ -2699,12 +2766,17 @@ def _betweenness_sql(levels: int, n_src: int) -> str:
     )
     ctes.append(f"alld AS MATERIALIZED ({alld})")
     ctes.append("bcsum AS MATERIALIZED (SELECT v, SUM(delta) AS bc FROM alld GROUP BY v)")
+    # converged when the deepest unrolled BFS level found no new vertices
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM lev{levels}) THEN "
+        f"error('betweenness oracle: level unroll insufficient') ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + """
+        + f"""
 SELECT mverts.v AS oid,
   CAST(FLOOR(COALESCE(bcsum.bc, 0) * 1e5 + 0.5) AS BIGINT) AS bc_e5
-FROM mverts LEFT JOIN bcsum ON bcsum.v = mverts.v ORDER BY oid
+FROM mverts LEFT JOIN bcsum ON bcsum.v = mverts.v WHERE {_CONV_OK} ORDER BY oid
 """
     )
 
@@ -2741,7 +2813,12 @@ def _kcore_sql(rounds: int, k: int) -> str:
             f"JOIN a{i} x ON x.v = e.s JOIN a{i} y ON y.v = e.d "
             f"GROUP BY e.s HAVING COUNT(*) >= {k})"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT v AS oid FROM a{rounds} ORDER BY oid"
+    # monotone shrinking vertex set: equal cardinality implies equal sets
+    ctes.append(_conv_guard("kcore", f"a{rounds}", f"a{rounds-1}", "v", None))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid FROM a{rounds} WHERE {_CONV_OK} ORDER BY oid"
+    )
 
 
 def _knn_sql(query_ids: list[int], k: int) -> str:
@@ -2794,7 +2871,7 @@ def _multi_bfs_sql(rounds: int, n_src: int) -> str:
 SELECT mverts.v AS oid, CAST(COALESCE(mx.d, -1) AS BIGINT) AS res
 FROM mverts LEFT JOIN (
   SELECT v, MAX(dist) AS d FROM p{rounds} GROUP BY v
-) mx ON mx.v = mverts.v ORDER BY oid
+) mx ON mx.v = mverts.v WHERE {_CONV_OK} ORDER BY oid
 """
     )
 
@@ -2935,10 +3012,15 @@ def _dominating_set_sql(sel_rounds: int) -> str:
             f"JOIN dm{r} s2 ON s2.v = e.d AND NOT s2.dom GROUP BY e.s) cnt "
             "ON cnt.v = s.v)"
         )
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM st{sel_rounds} "
+        f"WHERE NOT dom) THEN error('dominating-set oracle: selection round "
+        f"unroll insufficient') ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, CAST(CASE WHEN in_set THEN 1 ELSE 0 END "
-        f"AS BIGINT) AS in_set FROM st{sel_rounds} ORDER BY oid"
+        f"AS BIGINT) AS in_set FROM st{sel_rounds} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -2976,10 +3058,15 @@ def _vertex_cover_sql(sel_rounds: int) -> str:
             f"LEFT JOIN (SELECT e.s AS v, COUNT(*) AS n FROM uedges e "
             f"JOIN cs{r} x ON x.v = e.d GROUP BY e.s) dec ON dec.v = s.v)"
         )
+    ctes.append(
+        f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM vc{sel_rounds} "
+        f"WHERE NOT c AND resid > 0) THEN error('vertex-cover oracle: selection "
+        f"round unroll insufficient') ELSE 1 END AS ok)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT v AS oid, CAST(CASE WHEN c THEN 1 ELSE 0 END AS BIGINT) "
-        f"AS in_cover FROM vc{sel_rounds} ORDER BY oid"
+        f"AS in_cover FROM vc{sel_rounds} WHERE {_CONV_OK} ORDER BY oid"
     )
 
 
@@ -3001,6 +3088,7 @@ SELECT (SELECT cmax FROM cm) AS cmax,
        (SELECT ne FROM ne) AS ne,
        CAST(FLOOR((SELECT ne FROM ne)::DOUBLE / (SELECT COUNT(*) FROM s)
             * 1e6 + 0.5) AS BIGINT) AS density_e6
+WHERE {_CONV_OK}
 """
     )
 
@@ -3081,7 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_sql(15),
         "graph_sssp_path": _sssp_path_sql(15, 20),
         "graph_sssp_stats": _sssp_stats_sql(15),
-        "graph_bfs_limited": _bfs_sql(BFS_DEPTH),
+        "graph_bfs_limited": _bfs_sql(BFS_DEPTH, check=False),
         "graph_katz": _katz_sql(8, 0.05, 1.0),
         "graph_hits": _hits_sql(HITS_ITER),
         # MSBFS depth at sf=0.01 is 3; 8 levels is >2x margin (the pp
