@@ -32,6 +32,36 @@ def _bool(v: str, default: bool) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+def _probe_ncol(path: str, delim: str) -> int:
+    """Column count from the first line of the first CSV shard.
+
+    Resolved through ``pyarrow.fs.FileSystem.from_uri`` so the probe
+    follows the SAME filesystem the read will use — plain local paths,
+    file:// URIs, and (on a real deployment) s3://, oss://, hdfs://
+    (reference Loader protocol list, framework/loader.py:94-211) all take
+    this one code path. A directory of shards (write_csv's layout) probes
+    its lexicographically first shard."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fsys, fpath = pafs.FileSystem.from_uri(path)
+    else:
+        fsys, fpath = pafs.LocalFileSystem(), os.path.abspath(path)
+    info = fsys.get_file_info(fpath)
+    if info.type == pafs.FileType.Directory:
+        shards = sorted(
+            f.path for f in fsys.get_file_info(pafs.FileSelector(fpath))
+            if f.path.lower().endswith((".csv", ".tsv", ".txt"))
+        )
+        if not shards:
+            raise FileNotFoundError(f"no CSV shards under {path}")
+        fpath = shards[0]
+    with fsys.open_input_stream(fpath) as f:
+        head = f.read(1 << 16).decode("utf-8", "replace")
+    first = head.split("\n", 1)[0].rstrip("\r")
+    return len(first.split(delim))
+
+
 def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
     """Read a table from an option-suffixed location string."""
     path, opts = parse_location(uri)
@@ -52,21 +82,7 @@ def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
         if header:
             read_options = pacsv.ReadOptions()
         else:
-            # column names f0..fn, probed from the first line; a
-            # directory of CSV shards (write_csv's layout) probes its
-            # first shard instead of open()ing the directory itself
-            probe = path
-            if os.path.isdir(path):
-                shards = sorted(
-                    f for f in os.listdir(path)
-                    if f.lower().endswith((".csv", ".tsv", ".txt"))
-                )
-                if not shards:
-                    raise FileNotFoundError(f"no CSV shards under {path}")
-                probe = os.path.join(path, shards[0])
-            with open(probe, "rb") as f:
-                first = f.readline().decode("utf-8", "replace").rstrip("\r\n")
-            ncol = len(first.split(delim))
+            ncol = _probe_ncol(path, delim)
             read_options = pacsv.ReadOptions(
                 column_names=[f"f{i}" for i in range(ncol)]
             )

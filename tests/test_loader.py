@@ -32,6 +32,35 @@ def test_csv_headerless(ray_session, tmp_root):
     assert df["f0"].tolist() == [1, 2, 3]
 
 
+def test_remote_uri_csv_and_parquet(ray_session, tmp_root):
+    """file:// URIs exercise the pyarrow FileSystem.from_uri resolution —
+    the same code path s3:// / oss:// / hdfs:// locations take on a real
+    deployment (reference Loader protocols, framework/loader.py:94-211)."""
+    p = os.path.join(tmp_root, "r1.csv")
+    with open(p, "w") as f:
+        f.write("7;x\n8;y\n")
+    df = (
+        load_table("file://" + p + "#header_row=false#delimiter=;")
+        .to_pandas()
+    )
+    assert list(df.columns) == ["f0", "f1"]
+    assert df["f0"].tolist() == [7, 8]
+
+    pq = os.path.join(tmp_root, "r2.parquet")
+    pd.DataFrame({"a": [3, 4]}).to_parquet(pq)
+    assert load_table("file://" + pq).to_pandas()["a"].tolist() == [3, 4]
+
+
+def test_headerless_shard_directory(ray_session, tmp_root):
+    d = os.path.join(tmp_root, "shards.csv")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(("1,a\n2,b\n", "3,c\n")):
+        with open(os.path.join(d, f"part{i}.csv"), "w") as f:
+            f.write(rows)
+    df = load_table(d + "#header_row=false").to_pandas().sort_values("f0")
+    assert df["f0"].tolist() == [1, 2, 3]
+
+
 def test_json_and_parquet(ray_session, tmp_root):
     pq_path = os.path.join(tmp_root, "t3.parquet")
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(pq_path)
