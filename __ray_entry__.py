@@ -1043,6 +1043,54 @@ def q_graph_3path(sf_dir):
     return pd.DataFrame({"paths3": np.array([n], np.int64)})
 
 
+def q_graph_tri_census(sf_dir):
+    """Directed triangle census (flash_acyclic/cyclic/in/out/cycle_plus
+    _triangle, .gs_conf.yaml:503-540): one row with all five counts from
+    one shared third-vertex expansion + partitioned semi-join dataflow
+    (algos/tri_census.py). The input directs the pps co-order graph by a
+    deterministic hash rule (cpr is bipartite, hence triangle-free):
+    canonical u < v emits u->v when (u+v)%3 > 0 and v->u when
+    (2u+v)%3 > 0, yielding a mix of one-way and reciprocal edges."""
+    import ray.data as rd
+
+    from raylinkgraph.algos.tri_census import directed_triangle_census
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pps")
+
+    def direct(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("src_id").to_numpy(zero_copy_only=False)
+        d = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        canon = s < d
+        u, v = s[canon], d[canon]
+        fwd = (u + v) % 3 > 0
+        bwd = (2 * u + v) % 3 > 0
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate([u[fwd], v[bwd]]),
+                "dst_id": np.concatenate([v[fwd], u[bwd]]),
+            }
+        )
+
+    edges = g.edges_ds().map_batches(direct, batch_format="pyarrow")
+    c = directed_triangle_census(edges, P=16)
+    return pd.DataFrame(
+        {k: np.array([c[k]], np.int64)
+         for k in ("acyclic", "cyclic", "in_tri", "out_tri", "cycle_plus")}
+    )
+
+
+def q_graph_tailed(sf_dir):
+    """Tailed triangle count (flash_tailed_triangle, yaml:496-502) on
+    pps: sum over triangles of the tail slots (deg - 2) per corner."""
+    from raylinkgraph.algos.tri_census import tailed_triangle_count
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pps")
+    n = tailed_triangle_count(g, workdir_for(sf_dir, "motifs_pps"))
+    return pd.DataFrame({"tailed": np.array([n], np.int64)})
+
+
 def q_graph_kclique4(sf_dir):
     """4-clique count (flash_k_clique, apps/flash/subgraph/k-clique.h:44)
     on pps via the oriented triangle -> extend -> two semi-joins dataflow."""
@@ -1536,6 +1584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_multi_bfs": q_graph_multi_bfs,
         "graph_densest": q_graph_densest,
         "graph_diamond": q_graph_diamond,
+        "graph_tri_census": q_graph_tri_census,
+        "graph_tailed": q_graph_tailed,
         "graph_3path": q_graph_3path,
         "graph_kclique4": q_graph_kclique4,
         "doc_ngram_pairs": q_doc_ngram_pairs,
@@ -3129,6 +3179,55 @@ SELECT CAST(COALESCE((SELECT w FROM ew), 0)
 """
 
 
+def _tri_census_sql() -> str:
+    """flash_{acyclic,cyclic,in,out,cycle_plus}_triangle on the
+    hash-directed pps graph (see q_graph_tri_census). cyclic counts
+    rotations / 3 (one per directed 3-cycle, order-invariantly equal to
+    the engine's once-at-max-vertex count)."""
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES}),
+E AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM pedges WHERE (u + v) % 3 > 0
+  UNION ALL
+  SELECT v, u FROM pedges WHERE (2 * u + v) % 3 > 0
+),
+R AS MATERIALIZED (SELECT a.s, a.d FROM E a JOIN E b ON b.s = a.d AND b.d = a.s),
+acy AS (SELECT COUNT(*) AS n FROM E e1 JOIN E e2 ON e2.s = e1.s
+        JOIN E e3 ON e3.s = e1.d AND e3.d = e2.d),
+cyc AS (SELECT COUNT(*) // 3 AS n FROM E a JOIN E b ON b.s = a.d
+        JOIN E c ON c.s = b.d AND c.d = a.s),
+intr AS (SELECT COUNT(*) AS n FROM R r JOIN E e2 ON e2.s = r.s
+         JOIN E e3 ON e3.s = r.d AND e3.d = e2.d WHERE r.s > r.d),
+outt AS (SELECT COUNT(*) AS n FROM R r JOIN E e2 ON e2.d = r.s
+         JOIN E e3 ON e3.d = r.d AND e3.s = e2.s WHERE r.s > r.d),
+cp AS (SELECT COUNT(*) AS n FROM R r JOIN E e2 ON e2.d = r.s
+       JOIN E e3 ON e3.s = r.d AND e3.d = e2.s)
+SELECT CAST((SELECT n FROM acy) AS BIGINT) AS acyclic,
+       CAST((SELECT n FROM cyc) AS BIGINT) AS cyclic,
+       CAST((SELECT n FROM intr) AS BIGINT) AS in_tri,
+       CAST((SELECT n FROM outt) AS BIGINT) AS out_tri,
+       CAST((SELECT n FROM cp) AS BIGINT) AS cycle_plus
+"""
+
+
+def _tailed_sql() -> str:
+    """flash_tailed_triangle on pps: sum over undirected edges of
+    t_e * (deg(u) + deg(v) - 4), halved."""
+    return f"""
+WITH pedges AS MATERIALIZED ({_PPS_EDGES}),
+uedges AS MATERIALIZED ({_UEDGES_PPS}),
+deg AS (SELECT s AS v, COUNT(*) AS d FROM uedges GROUP BY s),
+te AS (
+  SELECT e.u, e.v, COUNT(*) AS t FROM pedges e
+  JOIN uedges a ON a.s = e.u
+  JOIN uedges b ON b.s = e.v AND b.d = a.d
+  GROUP BY e.u, e.v
+)
+SELECT CAST(COALESCE(SUM(t * (du.d + dv.d - 4)), 0) // 2 AS BIGINT) AS tailed
+FROM te JOIN deg du ON du.v = te.u JOIN deg dv ON dv.v = te.v
+"""
+
+
 def _kclique4_sql() -> str:
     """flash_k_clique (k=4): each 4-clique counted once at its sorted
     vertex order u < v < w < x over canonical pps edges."""
@@ -3216,6 +3315,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_multi_bfs": _multi_bfs_sql(8, RMB_K),
         "graph_densest": _densest_sql(30),
         "graph_diamond": _diamond_sql(),
+        "graph_tri_census": _tri_census_sql(),
+        "graph_tailed": _tailed_sql(),
         "graph_3path": _three_path_sql(),
         "graph_kclique4": _kclique4_sql(),
         "rel_orders_by_status": (
