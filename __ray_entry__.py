@@ -1515,26 +1515,40 @@ def q_events_asof_prev(sf_dir):
 
 
 def q_media_features(sf_dir):
-    """Multimodal plumbing over a deterministic binary table derived from
-    the documents texts (payload = utf-8 bytes). Rows-only check."""
+    """Multimodal decode over REAL P6 PPM payloads synthesized
+    deterministically from the documents texts (each doc's utf-8 bytes
+    tile a 24x24 RGB raster): the pure-numpy PPM decoder + block-mean
+    feature extraction run on actual pixels. Rows-only check."""
     import pyarrow as pa
     import ray.data as rd
 
     from raylinkgraph.functions.multimodal import extract_image_features
 
     docs = _docs(sf_dir).to_pandas().head(200)
+    W = H = 24
+    need = W * H * 3
+
+    def to_ppm(text: str) -> bytes:
+        raw = text.encode("utf-8")
+        reps = -(-need // max(len(raw), 1))
+        px = (raw * reps)[:need]
+        return f"P6\n{W} {H}\n255\n".encode() + px
+
     media = pa.table(
         {
             "media_id": pa.array(docs["doc_id"].to_numpy(np.int64), pa.int64()),
-            "mime": pa.array(["text/plain"] * len(docs), pa.string()),
+            "mime": pa.array(
+                ["image/x-portable-pixmap"] * len(docs), pa.string()
+            ),
             "payload": pa.array(
-                [t.encode("utf-8") for t in docs["text"]], pa.large_binary()
+                [to_ppm(t) for t in docs["text"]], pa.large_binary()
             ),
             "width": pa.array(np.zeros(len(docs), np.int32), pa.int32()),
             "height": pa.array(np.zeros(len(docs), np.int32), pa.int32()),
         }
     )
     feats = extract_image_features(rd.from_arrow(media), feature_dim=8).to_pandas()
+    assert (feats["width"] == W).all()  # dims came from the real decode
     feats["f0_e6"] = _rank_e6(np.stack(feats["feature"].to_numpy())[:, 0])
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 

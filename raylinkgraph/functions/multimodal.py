@@ -6,12 +6,17 @@ resize / frame-sampling run as actor-pool ``map_batches`` stages with
 SMALL batch sizes (wide binary rows; see the memory-aware sizing note in
 the module functions).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the codec step is stubbed: each stage detects the library at actor
-init; with ``fake=True`` it produces a deterministic, content-hash-based
-stand-in so the Ray-side plumbing (schema, batch size, actor signature,
-output layout) is real and tested; with ``fake=False`` and no library it
-raises NotImplementedError at first batch.
+Decode is REAL for uncompressed raster formats that need no external
+library: P6 PPM and 24-bit uncompressed BMP are parsed in pure numpy
+(``decode_image_array``), and features/resize are computed from the
+actual pixels (block-mean pooling via a 2-D summed-area table). For
+compressed codecs (JPEG/PNG/video) the libraries (PIL/ffmpeg) are NOT
+in this container, so that path is stubbed: each stage detects the
+library at actor init; with ``fake=True`` it produces a deterministic,
+content-hash-based stand-in so the Ray-side plumbing (schema, batch
+size, actor signature, output layout) is real and tested; with
+``fake=False`` and no library it raises NotImplementedError at first
+batch.
 """
 
 from __future__ import annotations
@@ -21,6 +26,87 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+
+def decode_image_array(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy decode of P6 PPM (maxval 255) and 24-bit uncompressed
+    BMP into an (h, w, 3) uint8 array; None when the payload is neither
+    (the caller falls back to the stub / library path)."""
+    if payload[:2] == b"P6":
+        # header: P6 <w> <h> <maxval><single whitespace><raw RGB>
+        toks: list[int] = []
+        i = 2
+        n = len(payload)
+        while len(toks) < 3 and i < n:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                try:
+                    toks.append(int(payload[i:j]))
+                except ValueError:
+                    return None
+                i = j
+        if len(toks) < 3 or toks[2] != 255:
+            return None
+        i += 1  # the single whitespace after maxval
+        w, h = toks[0], toks[1]
+        if i + w * h * 3 > n:
+            return None
+        return (
+            np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if off + stride * h > len(payload):
+            return None
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    return None
+
+
+def _block_mean(gray: np.ndarray, k: int) -> np.ndarray:
+    """k x k block-mean pooling via a summed-area table (vectorized)."""
+    h, w = gray.shape
+    sat = np.zeros((h + 1, w + 1), np.float64)
+    sat[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = np.arange(k + 1) * h // k
+    xs = np.arange(k + 1) * w // k
+    S = sat[ys][:, xs]
+    blocks = S[1:, 1:] - S[:-1, 1:] - S[1:, :-1] + S[:-1, :-1]
+    area = np.outer(np.diff(ys), np.diff(xs))
+    out = np.zeros((k, k), np.float64)
+    nz = area > 0
+    out[nz] = blocks[nz] / area[nz]
+    return out
+
+
+def _real_features(img: np.ndarray, n: int) -> np.ndarray:
+    """First n entries of the k x k block-mean grayscale grid, scaled to
+    [0, 1] (k = ceil(sqrt(n)))."""
+    k = int(np.ceil(np.sqrt(n)))
+    return (_block_mean(img.mean(axis=2), k) / 255.0).ravel()[:n]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -42,7 +128,12 @@ def _content_hash_floats(payload: bytes, n: int) -> np.ndarray:
 
 
 class DecodeImage:
-    """payload -> decoded dims + feature vector (stub-gated codec)."""
+    """payload -> decoded dims + feature vector.
+
+    PPM/BMP payloads decode for real (pure numpy) and yield true pixel
+    dims + block-mean features; anything else falls back to the
+    stub-gated codec path (PIL if present, else fake stand-in or
+    NotImplementedError)."""
 
     def __init__(self, feature_dim: int = 32, fake: bool = True):
         self.feature_dim = feature_dim
@@ -55,23 +146,98 @@ class DecodeImage:
             self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake and not self.pil:
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not in this container; "
-                "run with fake=True for the deterministic stand-in"
-            )
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack(
-            [_content_hash_floats(p, self.feature_dim) for p in payloads]
-        )
+        width = batch.column("width").to_numpy(zero_copy_only=False).copy()
+        height = batch.column("height").to_numpy(zero_copy_only=False).copy()
+        feats = np.empty((len(payloads), self.feature_dim), np.float64)
+        for i, p in enumerate(payloads):
+            img = decode_image_array(p)
+            if img is not None:
+                height[i], width[i] = img.shape[0], img.shape[1]
+                feats[i] = _real_features(img, self.feature_dim)
+            elif self.fake:
+                feats[i] = _content_hash_floats(p, self.feature_dim)
+            else:
+                raise NotImplementedError(
+                    "payload is not PPM/BMP and real decode of compressed "
+                    "codecs needs PIL, which is not in this container; run "
+                    "with fake=True for the deterministic stand-in"
+                )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "width": batch.column("width"),
-                "height": batch.column("height"),
+                "width": pa.array(width.astype(np.int32), pa.int32()),
+                "height": pa.array(height.astype(np.int32), pa.int32()),
                 "feature": pa.array(list(feats), pa.list_(pa.float64())),
             }
         )
+
+
+class ResizeImage:
+    """payload -> block-mean resized image, re-encoded as P6 PPM bytes.
+    Real for PPM/BMP inputs; non-decodable payloads produce a
+    deterministic hash-gray stand-in with ``fake=True``, else raise."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, fake: bool = True):
+        self.out_w, self.out_h, self.fake = out_w, out_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        header = f"P6\n{self.out_w} {self.out_h}\n255\n".encode()
+        for p in batch.column("payload").to_pylist():
+            img = decode_image_array(p)
+            if img is None:
+                if not self.fake:
+                    raise NotImplementedError(
+                        "resize of non-PPM/BMP payloads needs PIL/ffmpeg"
+                    )
+                g = _content_hash_floats(p, self.out_w * self.out_h)
+                px = np.repeat(
+                    ((g - g.min()) / max(float(np.ptp(g)), 1e-12) * 255)
+                    .astype(np.uint8),
+                    3,
+                )
+            else:
+                chans = [
+                    _block_mean(img[:, :, c].astype(np.float64), self.out_h)
+                    for c in range(3)
+                ]
+                # _block_mean pools to k x k; pool rows to out_h then
+                # columns to out_w by slicing the square grid
+                k = self.out_h
+                grid = np.stack(chans, axis=2)
+                xs = (np.arange(self.out_w) * k // self.out_w).clip(max=k - 1)
+                px = grid[:, xs].astype(np.uint8).ravel()
+            out.append(header + px.tobytes())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": pa.array(
+                    ["image/x-portable-pixmap"] * len(out), pa.string()
+                ),
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array(
+                    np.full(len(out), self.out_w, np.int32), pa.int32()
+                ),
+                "height": pa.array(
+                    np.full(len(out), self.out_h, np.int32), pa.int32()
+                ),
+            }
+        )
+
+
+def resize_images(
+    media: rd.Dataset, *, out_w: int = 32, out_h: int = 32, fake: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 32,
+) -> rd.Dataset:
+    return media.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def extract_image_features(
@@ -131,6 +297,36 @@ def sample_frames(media: rd.Dataset, *, n_frames=4, fake=True,
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+def ppm_media_table(n: int, seed: int = 5) -> pa.Table:
+    """REAL P6 PPM payloads (deterministic gradient + seeded noise
+    channel, varying dims) — exercises the pure-numpy decode path."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 49))
+        h = int(rng.integers(16, 49))
+        yy, xx = np.mgrid[0:h, 0:w]
+        gx = xx * 255.0 / max(w - 1, 1)
+        gy = yy * 255.0 / max(h - 1, 1)
+        img = np.stack(
+            [gx, gy[::-1], rng.integers(0, 256, (h, w))], axis=2
+        ).astype(np.uint8)
+        payloads.append(f"P6\n{w} {h}\n255\n".encode() + img.tobytes())
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "mime": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.array(ws, np.int32), pa.int32()),
+            "height": pa.array(np.array(hs, np.int32), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
     )
 
 

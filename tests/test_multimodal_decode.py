@@ -1,0 +1,103 @@
+"""Real pure-numpy image decode (PPM/BMP), features, resize."""
+
+import numpy as np
+import ray.data as rd
+
+from raylinkgraph.functions.multimodal import (
+    DecodeImage,
+    decode_image_array,
+    extract_image_features,
+    ppm_media_table,
+    resize_images,
+)
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder (BGR, 4-byte row padding)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pix
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (11, 7, 3)).astype(np.uint8)
+    got = decode_image_array(_ppm_bytes(img))
+    assert got is not None and np.array_equal(got, img)
+    # comments in the header are skipped
+    with_comment = b"P6\n# a comment\n7 11\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image_array(with_comment), img)
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    got = decode_image_array(_bmp_bytes(img))
+    assert got is not None and np.array_equal(got, img)
+
+
+def test_non_image_returns_none():
+    assert decode_image_array(b"hello world, not an image") is None
+    assert decode_image_array(b"P6 bogus header") is None
+
+
+def test_decode_real_features_and_dims():
+    img = np.full((10, 20, 3), 128, np.uint8)  # constant gray
+    t = ppm_media_table(1)
+    t = t.set_column(2, "payload", [[_ppm_bytes(img)]])
+    out = DecodeImage(feature_dim=4)(t)
+    assert out.column("width").to_pylist() == [20]
+    assert out.column("height").to_pylist() == [10]
+    feat = np.array(out.column("feature").to_pylist()[0])
+    assert np.allclose(feat, 128 / 255.0)
+
+
+def test_pipeline_real_ppm(ray_session):
+    media = rd.from_arrow(ppm_media_table(25))
+    feats = extract_image_features(
+        media, feature_dim=9, concurrency=2, batch_size=8
+    ).to_pandas()
+    assert len(feats) == 25
+    # gradient images: features vary with position, deterministic
+    f = np.stack(feats.sort_values("media_id")["feature"].to_numpy())
+    assert f.shape == (25, 9)
+    assert (f.std(axis=1) > 0).all()
+    again = extract_image_features(
+        rd.from_arrow(ppm_media_table(25)), feature_dim=9, concurrency=2,
+        batch_size=8,
+    ).to_pandas()
+    g = np.stack(again.sort_values("media_id")["feature"].to_numpy())
+    assert np.allclose(f, g)
+
+
+def test_resize_real(ray_session):
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[:, 20:] = 200  # left black, right 200
+    t = ppm_media_table(1).set_column(2, "payload", [[_ppm_bytes(img)]])
+    out = resize_images(rd.from_arrow(t), out_w=4, out_h=4).take_all()[0]
+    rimg = decode_image_array(out["payload"])
+    assert rimg.shape == (4, 4, 3)
+    assert (rimg[:, :2] < 10).all() and (rimg[:, 2:] > 190).all()
