@@ -1553,6 +1553,53 @@ def q_media_features(sf_dir):
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_audio(sf_dir):
+    """Audio decode over REAL PCM WAV payloads synthesized per doc (tone
+    frequency keyed by doc_id): RIFF parse, per-frame RMS energy and
+    zero-crossing rate from actual samples. Rows-only check."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import extract_audio_features
+
+    doc_ids = (
+        _docs(sf_dir).to_pandas().head(150)["doc_id"].to_numpy(np.int64)
+    )
+    rate = 8000
+    t = np.arange(int(rate * 0.1)) / rate
+    payloads = []
+    for d in doc_ids:
+        f0 = 100.0 + float(d % 20) * 50.0
+        pcm = (
+            np.clip(0.7 * np.sin(2 * np.pi * f0 * t), -1, 1) * 32767
+        ).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(pcm).to_bytes(4, "little")
+        )
+        payloads.append(hdr + pcm)
+    media = pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "mime": pa.array(["audio/wav"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.zeros(len(doc_ids), np.int32), pa.int32()),
+            "height": pa.array(np.zeros(len(doc_ids), np.int32), pa.int32()),
+        }
+    )
+    feats = extract_audio_features(rd.from_arrow(media), n_frames=4).to_pandas()
+    out = feats.sort_values("media_id").reset_index(drop=True)
+    out["zcr_e6"] = np.floor(out["zcr"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    out["dur_ms"] = np.floor(
+        out["duration_sec"].to_numpy() * 1000 + 0.5
+    ).astype(np.int64)
+    return out[["media_id", "dur_ms", "zcr_e6"]]
+
+
 def q_pages_pagerank(sf_dir):
     """North-rule flagship on synthetic pages (rows-only vs SQL; exactness
     is covered by the NetworkX-oracle pytest suite)."""
@@ -1585,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_asof_prev": q_events_asof_prev,
         "media_features": q_media_features,
+        "media_audio": q_media_audio,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

@@ -300,6 +300,132 @@ def sample_frames(media: rd.Dataset, *, n_frames=4, fake=True,
     )
 
 
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Pure-numpy decode of RIFF/WAVE PCM (8/16-bit int, any channel
+    count) -> (sample_rate, float64 samples in [-1, 1], channel-meaned);
+    None when the payload is not such a WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or n_ch == 0 or bits not in (8, 16):
+                return None
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data" and fmt is not None:
+            n_ch, rate, bits = fmt
+            if bits == 16:
+                x = np.frombuffer(
+                    body, "<i2", count=len(body) // 2
+                ).astype(np.float64) / 32768.0
+            else:
+                x = (
+                    np.frombuffer(body, np.uint8).astype(np.float64) - 128.0
+                ) / 128.0
+            usable = len(x) - len(x) % n_ch
+            return rate, x[:usable].reshape(-1, n_ch).mean(axis=1)
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return None
+
+
+class ExtractAudioFeatures:
+    """WAV payload -> duration + per-frame RMS energy / zero-crossing
+    features (real for PCM WAV; stub-gated otherwise, like DecodeImage)."""
+
+    def __init__(self, n_frames: int = 8, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        k = self.n_frames
+        dur = np.zeros(len(payloads), np.float64)
+        feats = np.zeros((len(payloads), k), np.float64)
+        zcr = np.zeros(len(payloads), np.float64)
+        for i, p in enumerate(payloads):
+            got = decode_wav(p)
+            if got is None:
+                if not self.fake:
+                    raise NotImplementedError(
+                        "payload is not PCM WAV; compressed audio needs "
+                        "ffmpeg, which is not in this container"
+                    )
+                feats[i] = np.abs(_content_hash_floats(p, k))
+                continue
+            rate, x = got
+            dur[i] = len(x) / max(rate, 1)
+            if len(x):
+                m = len(x) - len(x) % k
+                if m >= k:
+                    fr = x[:m].reshape(k, -1)
+                    feats[i] = np.sqrt((fr * fr).mean(axis=1))
+                zcr[i] = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+        return pa.table(
+            {
+                "media_id": ids,
+                "duration_sec": pa.array(dur, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "energy": pa.array(list(feats), pa.list_(pa.float64())),
+            }
+        )
+
+
+def extract_audio_features(
+    media: rd.Dataset, *, n_frames: int = 8, fake: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 32,
+) -> rd.Dataset:
+    return media.map_batches(
+        ExtractAudioFeatures,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def wav_media_table(n: int, seed: int = 9) -> pa.Table:
+    """REAL 16-bit PCM WAV payloads (deterministic sine + noise mixes)."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    ids, payloads = [], []
+    for i in range(n):
+        rate = 8000
+        secs = float(rng.uniform(0.05, 0.3))
+        t = np.arange(int(rate * secs)) / rate
+        f0 = float(rng.uniform(100, 1500))
+        x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(len(t))
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(pcm).to_bytes(4, "little")
+        )
+        payloads.append(hdr + pcm)
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "height": pa.array(np.zeros(n, np.int32), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def ppm_media_table(n: int, seed: int = 5) -> pa.Table:
     """REAL P6 PPM payloads (deterministic gradient + seeded noise
     channel, varying dims) — exercises the pure-numpy decode path."""

@@ -101,3 +101,27 @@ def test_resize_real(ray_session):
     rimg = decode_image_array(out["payload"])
     assert rimg.shape == (4, 4, 3)
     assert (rimg[:, :2] < 10).all() and (rimg[:, 2:] > 190).all()
+
+
+def test_wav_decode_and_features(ray_session):
+    from raylinkgraph.functions.multimodal import (
+        decode_wav,
+        extract_audio_features,
+        wav_media_table,
+    )
+
+    t = wav_media_table(10)
+    rate, x = decode_wav(t.column("payload").to_pylist()[0])
+    assert rate == 8000 and len(x) > 100
+    assert np.abs(x).max() <= 1.0
+    feats = extract_audio_features(
+        rd.from_arrow(t), n_frames=4, concurrency=2, batch_size=4
+    ).to_pandas().sort_values("media_id")
+    assert len(feats) == 10
+    assert (feats["duration_sec"] > 0.04).all()
+    # a sine wave has substantial RMS energy in every frame
+    e = np.stack(feats["energy"].to_numpy())
+    assert (e > 0.1).all()
+    # pure tone: zero-crossing rate ~ 2 * f0 / rate, definitely positive
+    assert (feats["zcr"] > 0.01).all()
+    assert decode_wav(b"not a wav at all") is None
