@@ -1442,6 +1442,34 @@ def q_knn_lsh(sf_dir):
     return lsh_knn_cosine(emb, KNN_QUERIES, k=KNN_K, n_bits=6)
 
 
+EMB_DUP_TH = 0.3
+
+
+def q_emb_dup_pairs(sf_dir):
+    """Embedding-cosine near-duplicate pairs, EXACT (a < b, cosine >=
+    0.3): broadcast normalized corpus + per-batch matmul
+    (functions/similarity.cosine_dup_pairs)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import cosine_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_dup_pairs(emb, EMB_DUP_TH).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_emb_dup_pairs_lsh(sf_dir):
+    """Banded SRP-LSH near-dup pairs (scale path; recall < 1 by design,
+    so rows-only + pytest recall oracle)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import cosine_dup_pairs_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_dup_pairs_lsh(emb, EMB_DUP_TH).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_events_by_type(sf_dir):
     import pyarrow as pa
     import ray.data as rd
@@ -1627,6 +1655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "emb_dup_pairs_lsh": q_emb_dup_pairs_lsh,
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
@@ -2965,6 +2995,27 @@ ORDER BY query_id, rnk
 """
 
 
+def _emb_dup_sql(threshold: float) -> str:
+    """All embedding pairs (a < b) with cosine >= threshold."""
+    return f"""
+WITH elems AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM elems GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.val * b.val) AS dp
+  FROM elems a JOIN elems b ON b.pos = a.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.a, d.b FROM dots d
+JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+WHERE d.dp / (na.nrm * nb.nrm) >= {threshold}
+ORDER BY d.a, d.b
+"""
+
+
 _UEDGES_PPS = (
     f"SELECT u AS s, v AS d FROM ({_PPS_EDGES}) "
     f"UNION SELECT v, u FROM ({_PPS_EDGES})"
@@ -3413,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
         "knn_cosine": _knn_sql(KNN_QUERIES, KNN_K),
+        "emb_dup_pairs": _emb_dup_sql(EMB_DUP_TH),
         "events_by_type": (
             "SELECT event_type, COUNT(*) AS n, "
             "CAST(FLOOR(SUM(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6 "

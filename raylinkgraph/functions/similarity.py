@@ -22,6 +22,13 @@ import ray.data as rd
 def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), col.type.list_size)
+    if not isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        # e.g. Ray's ArrowTensorArray extension (from_pandas with ndarray
+        # cells); to_numpy yields an (n, d) array directly
+        return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offs = col.offsets.to_numpy(zero_copy_only=False)
     dim = offs[1] - offs[0]
@@ -211,4 +218,138 @@ def lsh_knn_cosine(
         .to_pandas()
         .sort_values(["query_id", "rnk"])
         .reset_index(drop=True)
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: rd.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """EXACT embedding-cosine near-duplicate pairs: every (a, b) with
+    a < b and cosine >= threshold.
+
+    The normalized corpus matrix ships ONCE via ray.put (O(n x d) — a
+    1M x 64 f32 corpus is 256 MB, well within a node's object store) and
+    each batch matmuls against it, so the O(n^2) similarity compute
+    streams over batches with no pair materialization below threshold.
+    Beyond broadcast size, use cosine_dup_pairs_lsh (the scale path)."""
+    corpus = embeddings.to_pandas().sort_values(id_col)
+    ids = corpus[id_col].to_numpy(np.int64)
+    M = _normalize(np.stack(corpus[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, M))
+
+    class Score:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            B = _normalize(_to_matrix(batch.column(vec_col)))
+            sims = B @ self.M.T
+            # keep a < b only: each unordered pair is emitted exactly once,
+            # by the batch that holds its smaller id
+            keep = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
+            i, j = np.nonzero(keep)
+            return pd.DataFrame(
+                {"a": bids[i], "b": self.ids[j]}
+            )
+
+    return embeddings.map_batches(
+        Score, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+
+
+def cosine_dup_pairs_lsh(
+    embeddings: rd.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 2,
+    seed: int = 11,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Banded signed-random-projection LSH near-dup pairs (scale path).
+
+    Each vector gets n_bands x band_bits hyperplane sign bits; a pair is
+    a candidate when ANY band's bits match (one groupby per band key,
+    all bands in one shuffle via a (band, sig) composite key). Candidates
+    dedup on (a, b) and exact-verify by cosine. Recall < 1 by design:
+    for same-bit probability p = 1 - theta/pi, recall =
+    1 - (1 - p^band_bits)^n_bands (~0.97 at threshold 0.3 with 8x2).
+    The verify step broadcasts the normalized corpus like the exact path;
+    at corpus sizes beyond broadcast, swap in a partitioned gather."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    dim_probe = embeddings.take(1)[0][vec_col]
+    planes = rng.standard_normal((n_bands * band_bits, len(dim_probe)))
+    pref = ray.put(planes)
+
+    class Sig:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            M = _to_matrix(batch.column(vec_col))
+            bits = (M @ self.planes.T) >= 0  # (n, bands*bits)
+            rows = []
+            w = np.power(2, np.arange(band_bits), dtype=np.int64)
+            for band in range(n_bands):
+                seg = bits[:, band * band_bits : (band + 1) * band_bits]
+                sig = seg.astype(np.int64) @ w
+                rows.append(
+                    pd.DataFrame(
+                        {"band": np.int32(band), "sig": sig,
+                         "vid": ids.astype(np.int64)}
+                    )
+                )
+            return pd.concat(rows, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["vid"].to_numpy(np.int64))
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64)}
+            )
+        i, j = np.triu_indices(n, 1)
+        return pd.DataFrame({"a": v[i], "b": v[j]})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    cands = (
+        embeddings.map_batches(Sig, batch_format="pyarrow",
+                               concurrency=concurrency, num_cpus=1)
+        .groupby(["band", "sig"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+    corpus = embeddings.to_pandas().sort_values(id_col)
+    ids = corpus[id_col].to_numpy(np.int64)
+    M = _normalize(np.stack(corpus[vec_col].to_numpy()).astype(np.float64))
+    cref = ray.put((ids, M))
+
+    class Verify:
+        def __init__(self):
+            self.ids, self.M = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return batch[["a", "b"]]
+            ia = np.searchsorted(self.ids, batch["a"].to_numpy(np.int64))
+            ib = np.searchsorted(self.ids, batch["b"].to_numpy(np.int64))
+            sims = np.einsum("ij,ij->i", self.M[ia], self.M[ib])
+            return batch[["a", "b"]][sims >= threshold]
+
+    return cands.map_batches(
+        Verify, batch_format="pandas", concurrency=concurrency, num_cpus=1
     )

@@ -143,3 +143,36 @@ def test_multimodal_plumbing(ray_session):
     if not stub.pil:
         with pytest.raises(NotImplementedError):
             stub(multimodal.fake_media_table(2))
+
+
+def test_cosine_dup_pairs_exact_and_lsh(ray_session):
+    rng = np.random.default_rng(21)
+    n, d = 300, 32
+    base = rng.standard_normal((n, d))
+    # plant 20 near-dup pairs: ids n..n+19 are jittered copies of 0..19
+    planted = base[:20] + 0.15 * rng.standard_normal((20, d))
+    M = np.vstack([base, planted])
+    ids = np.arange(len(M), dtype=np.int64)
+    emb = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(M.astype(np.float32))})
+    )
+    th = 0.8
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    iu = np.triu_indices(len(M), 1)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if sims[i, j] >= th
+    }
+    got = set(
+        map(tuple, similarity.cosine_dup_pairs(emb, th).to_pandas().values)
+    )
+    assert got == truth and len(truth) >= 20
+
+    lsh = set(
+        map(tuple,
+            similarity.cosine_dup_pairs_lsh(emb, th).to_pandas().values)
+    )
+    assert lsh <= truth  # verify step guarantees precision 1
+    assert len(lsh & truth) / len(truth) >= 0.8  # banded-SRP recall floor
