@@ -786,7 +786,10 @@ def q_graph_all_simple_paths(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import cpr_edges
 
     B = 16
-    edges = cpr_edges(sf_dir)
+    # pin the edge table once: the two min() scans plus one tag pass per
+    # hop would otherwise re-run the orders x lineitem bucket join
+    # ASP_CUTOFF + 2 times (object-store blocks, spill-friendly)
+    edges = cpr_edges(sf_dir).materialize()
     src = int(edges.min("src_id"))
     dst = int(
         edges.map_batches(
