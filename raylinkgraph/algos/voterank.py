@@ -14,8 +14,9 @@ engine and the SQL oracle):
   T elections -> the seed list in election order.
 
 Composed from the bucket-join / bucketed-sum helpers (louvain.py); the
-per-election state is persisted parquet; the winner argmax is a
-per-batch partial reduce (P rows to the driver); the winner's
+per-election state lives in materialized object-store blocks; the winner
+argmax is a per-batch partial reduce (P rows to the driver) with the
+tiny elected set filtered by closure (no join); the winner's
 neighborhood update ships one adjacency list via the object store."""
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from raylinkgraph.algos.louvain import _attach, _persist, _sum_by
+from raylinkgraph.algos.louvain import _attach, _sum_by
 from raylinkgraph.pipelines.graph_ops import successors
 
 D_UNITS = 1 << 20
@@ -45,23 +46,24 @@ def run_voterank(graph, workdir: str, n_seeds: int = 5) -> pd.DataFrame:
              "dst": b["dst_id"].to_numpy(np.int64)}
         )
 
-    edges = _persist(
-        graph.edges_ds().map_batches(norm, batch_format="pandas"),
-        os.path.join(workdir, "edges"),
-    )
+    # object-store pins, not parquet round trips: edges are re-joined
+    # once per election and state is rewritten per election — both stay
+    # as materialized block lists (spill-friendly), no filesystem IO
+    edges = graph.edges_ds().map_batches(norm, batch_format="pandas").materialize()
 
-    state = _persist(
+    state = (
         rd.read_parquet(
             os.path.join(graph.graph_dir, "vertexstate"), columns=["oid"]
-        ).map_batches(
+        )
+        .map_batches(
             lambda b: pd.DataFrame(
                 {"v": b["oid"].to_numpy(np.int64),
                  "a": np.full(len(b), float(D_UNITS)),
                  "elected": np.zeros(len(b))}
             ),
             batch_format="pandas",
-        ),
-        os.path.join(workdir, "s0000"),
+        )
+        .materialize()
     )
 
     elected: list[tuple[int, int]] = []
@@ -71,13 +73,13 @@ def run_voterank(graph, workdir: str, n_seeds: int = 5) -> pd.DataFrame:
                     {"src": "int64", "dst": "int64"}),
             "src", "a_dst", "score", B,
         )
-        scored = _attach(
-            scored, "src", state, "v", ["elected"], ["el"], B,
-            {"src": "int64", "score": "float64"},
-        )
+        # the elected set is <= n_seeds ids: filter it in the per-batch
+        # argmax via a plain closure instead of a third bucket-join
+        # shuffle per election (VERDICT r2 perf discipline)
+        elected_ids = np.array(sorted(w for w, _ in elected), np.int64)
 
-        def top(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["el"] == 0.0]
+        def top(b: pd.DataFrame, elected_ids=elected_ids) -> pd.DataFrame:
+            b = b[~b["src"].isin(elected_ids)]
             if not len(b):
                 return pd.DataFrame({"v": [np.int64(-1)], "s": [-1.0]})
             i = np.lexsort((b["src"].to_numpy(), -b["score"].to_numpy()))[0]
@@ -104,10 +106,7 @@ def run_voterank(graph, workdir: str, n_seeds: int = 5) -> pd.DataFrame:
             el = np.where(v == w, 1.0, el)
             return pd.DataFrame({"v": v, "a": a, "elected": el})
 
-        state = _persist(
-            state.map_batches(update, batch_format="pandas"),
-            os.path.join(workdir, f"s{e+1:04d}"),
-        )
+        state = state.map_batches(update, batch_format="pandas").materialize()
 
     return pd.DataFrame(
         {
