@@ -3394,8 +3394,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_scc": _scc_sql(4, 12),
         "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
-        "graph_corenum": _corenum_sql(30),
-        "graph_degeneracy": _degeneracy_sql(30),
+        "graph_corenum": _corenum_sql(60),
+        "graph_degeneracy": _degeneracy_sql(60),
         "graph_articlerank": _articlerank_sql(AR_ROUNDS, ALPHA),
         "graph_ppr": _ppr_sql(PPR_ROUNDS, ALPHA),
         "graph_eigenvector": _eigenvector_sql(EV_ROUNDS),
@@ -3429,7 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_dominating_set": _dominating_set_sql(30),
         "graph_vertex_cover": _vertex_cover_sql(60),
         "graph_multi_bfs": _multi_bfs_sql(8, RMB_K),
-        "graph_densest": _densest_sql(30),
+        "graph_densest": _densest_sql(60),
         "graph_diamond": _diamond_sql(),
         "graph_tri_census": _tri_census_sql(),
         "graph_tailed": _tailed_sql(),
