@@ -176,3 +176,19 @@ def test_cosine_dup_pairs_exact_and_lsh(ray_session):
     )
     assert lsh <= truth  # verify step guarantees precision 1
     assert len(lsh & truth) / len(truth) >= 0.8  # banded-SRP recall floor
+
+
+def test_cosine_dup_partition_invariance(ray_session):
+    rng = np.random.default_rng(8)
+    M = rng.standard_normal((120, 16))
+    M[60:] = M[:60] + 0.1 * rng.standard_normal((60, 16))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(120, dtype=np.int64),
+         "embedding": [list(map(float, r)) for r in M.astype(np.float32)]}
+    )
+    a = similarity.cosine_dup_pairs(rd.from_pandas(df), 0.9).to_pandas()
+    b = similarity.cosine_dup_pairs(
+        rd.from_pandas(df).repartition(9), 0.9
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d.values))
+    assert key(a) == key(b) and len(a) >= 50

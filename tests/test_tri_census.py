@@ -124,3 +124,21 @@ def test_tailed_triangle(ray_session, tmp_root):
     got = tailed_triangle_count(g, os.path.join(tmp_root, "ck-tail"))
     assert got == want
     assert got > 0
+
+
+def test_census_partition_invariance(ray_session):
+    rng = np.random.default_rng(5)
+    edges = {
+        (int(u), int(v))
+        for u, v in zip(rng.integers(0, 40, 500), rng.integers(0, 40, 500))
+        if u != v
+    }
+    df = pd.DataFrame(
+        {"src_id": np.array([e[0] for e in edges], np.int64),
+         "dst_id": np.array([e[1] for e in edges], np.int64)}
+    )
+    a = directed_triangle_census(rd.from_pandas(df), P=2)
+    b = directed_triangle_census(
+        rd.from_pandas(df).repartition(7), P=16
+    )
+    assert a == b == _brute(edges)
