@@ -284,17 +284,36 @@ def run_scaling() -> dict:
     # edges/s/core at 2 workers falling to 36M at 8). On a real N -> 4N
     # NODE cluster every node brings its own DRAM + NIC, which only the
     # below-knee window models faithfully on one box.
-    lo, hi = 1, 4
+    # primary window 1->4 (both levels below the knee); 2->8 reported
+    # alongside so the >=0.8 claim is not window-sensitive (it crosses
+    # the single-box DRAM knee that a real N->4N NODE cluster would not)
+    windows = [
+        tuple(int(x) for x in w.split(":"))
+        for w in os.environ.get("RLG_SCALE_WINDOWS", "1:4,2:8").split(",")
+    ]
+    lo, hi = windows[0]
     repeats = int(os.environ.get("RLG_SCALE_REPEATS", "2"))
     one(hi)  # warm: build + cache the scale graph, warm page cache
     best = {}
-    for ncpu in (lo, hi):
+    for ncpu in sorted({c for w in windows for c in w}):
         runs = [one(ncpu) for _ in range(repeats)]
         # best single round across runs = the least-contended sample of
         # the same fixed work (the VM has ~2x noisy-neighbor variance);
         # mean/median bases over ALL rounds of the best run are reported
         # alongside — all three clear the 0.8 bar in this window
         best[ncpu] = max(runs, key=lambda r: r["peak_edges_per_sec"])
+
+    def win_eff(wlo: int, whi: int) -> dict:
+        f = whi / wlo
+        return {
+            k: round(best[whi][key] / (best[wlo][key] * f), 3)
+            for k, key in (
+                ("peak", "peak_edges_per_sec"),
+                ("mean", "edges_per_sec"),
+                ("median", "median_edges_per_sec"),
+            )
+        }
+
     r_lo, r_hi = best[lo], best[hi]
     factor = hi / lo
 
@@ -302,6 +321,17 @@ def run_scaling() -> dict:
         return round(r_hi[key] / (r_lo[key] * factor), 3)
 
     return {
+        "windows": {
+            f"{wlo}->{whi}": win_eff(wlo, whi) for wlo, whi in windows
+        },
+        "levels": {
+            str(c): {
+                "peak_edges_per_sec": best[c]["peak_edges_per_sec"],
+                "mean_edges_per_sec": best[c]["edges_per_sec"],
+                "median_edges_per_sec": best[c]["median_edges_per_sec"],
+            }
+            for c in best
+        },
         "metric": "pagerank_scaling_efficiency_N_to_4N",
         "value": eff("peak_edges_per_sec"),
         "unit": "efficiency",

@@ -104,8 +104,61 @@ class MinHasher:
         v = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
+    def batch_signatures(self, texts) -> np.ndarray:
+        """All signatures of a batch in one vectorized pass: docs are
+        concatenated with k-1 sentinel bytes, the FNV window hashes of
+        the whole buffer are computed in k vector ops, windows crossing a
+        doc boundary are dropped by index, and each permutation's min is
+        a single ``np.minimum.reduceat`` at the doc offsets. Min over the
+        shingle multiset == min over its unique set, so the result is
+        byte-identical to ``signature()`` per doc."""
+        k = self.shingle_k
+        if not len(texts):
+            return np.empty((0, self.num_perm), np.uint64)
+        bufs = []
+        lens = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            bt = t.encode("utf-8")
+            if len(bt) < k:
+                bt = bt + b"\x00" * (k - len(bt))
+            bufs.append(bt)
+            lens[i] = len(bt)
+        buf = (b"\xff" * (k - 1)).join(bufs)
+        arr = np.frombuffer(buf, np.uint8)
+        nwin_total = len(arr) - k + 1
+        h = np.full(nwin_total, _U64(14695981039346656037))
+        prime = _U64(1099511628211)
+        for j in range(k):
+            h = (h ^ arr[j : j + nwin_total].astype(_U64)) * prime
+        # valid window start per doc i: starts[i] .. starts[i]+lens[i]-k
+        starts = np.concatenate(([0], np.cumsum(lens + (k - 1))[:-1]))
+        nwin = lens - k + 1
+        offsets = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        idx = np.arange(int(nwin.sum()), dtype=np.int64)
+        idx += np.repeat(starts - offsets, nwin)
+        hv = h[idx]
+        # chunked 2D broadcast: ~4k shingles x num_perm stays in L2, and
+        # one (mult, add, mod, reduceat) numpy call sequence covers many
+        # docs at once instead of one call sequence per doc
+        sigs = np.empty((len(texts), self.num_perm), np.uint64)
+        a2, b2 = self.a[:, None], self.b[:, None]
+        target = 4096
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0 + 1
+            while d1 < len(texts) and offsets[d1] - offsets[d0] < target:
+                d1 += 1
+            lo = offsets[d0]
+            hi = offsets[d1] if d1 < len(texts) else len(hv)
+            v = (a2 * hv[None, lo:hi] + b2) % _MERSENNE
+            sigs[d0:d1] = np.minimum.reduceat(
+                v, offsets[d0:d1] - lo, axis=1
+            ).T
+            d0 = d1
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        sigs = self.batch_signatures(batch["text"].tolist())
         band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), len(batch))
         doc_ids = np.tile(batch["doc_id"].to_numpy(np.int64), self.bands)
         bh = []
