@@ -1445,6 +1445,19 @@ def q_knn_lsh(sf_dir):
     return lsh_knn_cosine(emb, KNN_QUERIES, k=KNN_K, n_bits=6)
 
 
+def q_knn_ivf(sf_dir):
+    """IVF-partitioned ANN top-k (rows-only: recall < 1 by design; the
+    pytest oracle measures recall vs exact knn_cosine). The corpus is
+    never shuffled: one actor-pool pass assigns cells from broadcast
+    centroids and scores only the probing queries' matrix per cell."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import ivf_knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_knn_cosine(emb, KNN_QUERIES, k=KNN_K, n_cells=16, nprobe=4)
+
+
 EMB_DUP_TH = 0.3
 
 
@@ -1658,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "emb_dup_pairs": q_emb_dup_pairs,
         "emb_dup_pairs_lsh": q_emb_dup_pairs_lsh,
         "events_by_type": q_events_by_type,

@@ -353,3 +353,148 @@ def cosine_dup_pairs_lsh(
     return cands.map_batches(
         Verify, batch_format="pandas", concurrency=concurrency, num_cpus=1
     )
+
+
+def _spherical_kmeans(
+    X: np.ndarray, n_cells: int, n_iter: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means over NORMALIZED rows: init =
+    evenly spaced training rows (no RNG), assign by max cosine, centroid
+    = renormalized mean. Empty cells keep their previous centroid, so
+    the result is stable and the cell count never collapses."""
+    n = len(X)
+    C = X[np.linspace(0, n - 1, n_cells).astype(np.int64)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def ivf_knn_cosine(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> pd.DataFrame:
+    """IVF-partitioned approximate top-k cosine: a coarse quantizer
+    (deterministic spherical k-means, trained on a modulo-sampled
+    subset) prunes the corpus to the ``nprobe`` cells nearest each
+    query -> (query_id, neighbor_id, rnk).
+
+    The scale shape (vs lsh_knn_cosine's hyperplane buckets): the corpus
+    is NEVER shuffled — one actor-pool ``map_batches`` assigns each
+    corpus row to its cell from the broadcast centroids and immediately
+    scores it against only the queries probing that cell (~nprobe/n_cells
+    of the query matrix per row), then a tiny partial-top-k groupby
+    finalizes. Centroids + queries ship once via ray.put. Recall < 1 by
+    design (a true neighbor in an unprobed cell is missed); measured
+    against exact knn_cosine in tests."""
+    # --- train: deterministic modulo sample, driver-side small k-means
+    n_total = embeddings.count()
+    step = max(1, n_total // train_sample)
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % step == 0))
+
+    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    train = train.sort_values(id_col)
+    Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+    C = _spherical_kmeans(Xt, min(n_cells, len(Xt)))
+
+    # --- queries: pull their rows, pick nprobe nearest cells each
+    qset = sorted(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtab = embeddings.map_batches(grab, batch_format="pyarrow").to_pandas()
+    qtab = qtab.sort_values(id_col)
+    Q = _normalize(np.stack(qtab[vec_col].to_numpy()).astype(np.float64))
+    qids = qtab[id_col].to_numpy(np.int64)
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    # per-cell query slices, built once and broadcast with the centroids
+    cell_q: dict[int, np.ndarray] = {}
+    for qi in range(len(qids)):
+        for c in qcells[qi]:
+            cell_q.setdefault(int(c), []).append(qi)
+    cell_q = {c: np.asarray(v, np.int64) for c, v in cell_q.items()}
+    ref = ray.put((C, qids, Q, cell_q))
+
+    class AssignScore:
+        def __init__(self):
+            self.C, self.qids, self.Q, self.cell_q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            cells = np.argmax(X @ self.C.T, axis=1)
+            frames = []
+            for c in np.unique(cells):
+                qs = self.cell_q.get(int(c))
+                if qs is None:
+                    continue
+                m = cells == c
+                sims = self.Q[qs] @ X[m].T  # (probing queries, cell rows)
+                nloc = int(m.sum())
+                kk = min(k + 1, nloc)
+                sub_ids = ids[m]
+                for row, qi in enumerate(qs):
+                    srow = sims[row]
+                    part = np.argpartition(-srow, kk - 1)[:kk]
+                    thresh = srow[part].min()
+                    cand = np.flatnonzero(srow >= thresh)
+                    cand = cand[np.lexsort((sub_ids[cand], -srow[cand]))][:kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(cand), self.qids[qi]),
+                                "neighbor_id": sub_ids[cand],
+                                "sim": srow[cand],
+                            }
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "neighbor_id": pd.Series([], dtype=np.int64),
+                     "sim": pd.Series([], dtype=np.float64)}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    partials = embeddings.map_batches(
+        AssignScore, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g["neighbor_id"] != qid].drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), qid, np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )

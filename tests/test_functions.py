@@ -192,3 +192,23 @@ def test_cosine_dup_partition_invariance(ray_session):
     ).to_pandas()
     key = lambda d: sorted(map(tuple, d.values))
     assert key(a) == key(b) and len(a) >= 50
+
+
+def test_ivf_knn_recall_and_determinism(ray_session):
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = similarity.knn_cosine(emb, query_ids=[0, 5], k=10, concurrency=2)
+    approx = similarity.ivf_knn_cosine(
+        emb, query_ids=[0, 5], k=10, n_cells=8, nprobe=3, concurrency=2
+    )
+    for q in (0, 5):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert len(e & a) >= 3  # nprobe=3/8 cells on random data
+    # deterministic and batch-layout independent: a repartitioned corpus
+    # must give the identical result (centroid training is a modulo
+    # sample + evenly-spaced init, no RNG)
+    approx2 = similarity.ivf_knn_cosine(
+        emb.repartition(7), query_ids=[0, 5], k=10, n_cells=8, nprobe=3,
+        concurrency=2,
+    )
+    pd.testing.assert_frame_equal(approx, approx2)
