@@ -1644,6 +1644,42 @@ def q_media_audio(sf_dir):
     return out[["media_id", "dur_ms", "zcr_e6"]]
 
 
+def q_rel_customer_revenue(sf_dir):
+    """orders ⋈ customer on custkey -> revenue per nation, through the
+    generic hash_join surface with broadcast_limit=0 so the PARTITIONED
+    bucket-join path (the 100 TB shape: one shuffle, no driver
+    materialization) is what the oracle checks. functions/joins.py."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from raylinkgraph.functions.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=0, buckets=32,
+    )
+    out = (
+        j.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="tp"))
+        .to_pandas()
+    )
+    # cents (see rel_orders_by_status): order-reproducible float digits
+    out["total_cents"] = np.floor(out["tp"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    return (
+        out[["c_nationkey", "n_orders", "total_cents"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
 def q_media_video(sf_dir):
     """Video frame sampling over REAL YUV4MPEG2 payloads synthesized per
     doc (6-frame rolling-gradient clip, luma phase keyed by doc_id):
@@ -1736,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
+        "rel_customer_revenue": q_rel_customer_revenue,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3506,6 +3543,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, COUNT(*) AS n, "
             "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "rel_customer_revenue": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "COUNT(*) AS n_orders, "
+            "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "rel_top_parts": (
             f"SELECT dst_id, COUNT(*) AS n_customers FROM ({_EDGES}) "

@@ -1,0 +1,156 @@
+"""General equi-join over Ray Datasets.
+
+Broadcast the right side below a row limit (one ``ray.put``, read by
+every map task — never re-shipped per batch); above it, an explicit
+partitioned bucket join: both sides tagged with hash(key) % buckets,
+null-padded to a common schema, unioned, and merged per bucket group —
+ONE shuffle, no driver materialization. This is the generic form of the
+idiom proven by ``stages/vertex_map.attach_gids[_partitioned]`` and the
+cp/cpr edge builds (pipelines/tpch_graph.py).
+
+Reference surface: GraphScope's loader/dataframe pipelines join vertex
+and edge frames during graph construction
+(python/graphscope/framework/loader.py, docs/frag_intro.md 1.5.1);
+here the join is a first-class, reusable Ray Data composition.
+
+Scale notes: the bucket count bounds per-group memory (a group holds
+~|L|/buckets + |R|/buckets rows); skewed keys concentrate in one
+bucket only if one KEY dominates — for those, pre-aggregate before the
+join or raise ``buckets``. Key hashing is splitmix64 (ints) /
+crc32 (strings), the same functions that partition every other shuffle
+in this repo, so a join can reuse a co-partitioned layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from raylinkgraph.functions.hashing import crc32_str, partition_of
+
+
+def _pa_schema(ds: rd.Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow Schema, whatever the block format
+    (pandas-backed blocks report a PandasBlockSchema of numpy dtypes)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        try:
+            fields.append((name, pa.from_numpy_dtype(typ)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append((name, pa.string()))  # object dtype -> string
+    return pa.schema(fields)
+
+
+def _key_buckets(vals: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
+    if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+        return (crc32_str(vals.to_pylist()) % np.uint32(buckets)).astype(np.int32)
+    v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+    return partition_of(v, buckets).astype(np.int32)
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    broadcast_limit: int = 5_000_000,
+    buckets: int = 64,
+    rsuffix: str = "_r",
+) -> rd.Dataset:
+    """Equi-join ``left`` with ``right`` on one key column.
+
+    Output columns: every left column, then right's non-key columns
+    (``rsuffix``-renamed on clashes). ``how`` is ``inner`` or ``left``.
+    Right sides of at most ``broadcast_limit`` rows are broadcast;
+    larger ones go through the partitioned bucket join. Row order is
+    not defined (sort downstream if needed).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_on = right_on or on
+    left_cols = list(left.schema().names)
+    rschema = _pa_schema(right)
+    rcols = [c for c in rschema.names if c != right_on]
+    ren = {c: (c + rsuffix if c in left_cols else c) for c in rcols}
+    out_rcols = [ren[c] for c in rcols]
+
+    if right.count() <= broadcast_limit:
+        rp = right.to_pandas().rename(columns=ren)
+        rp = rp.rename(columns={right_on: on}) if right_on != on else rp
+        ref = ray.put(rp)
+
+        class BroadcastJoin:
+            def __init__(self):
+                self.r = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch.merge(self.r, on=on, how=how)
+
+        return left.map_batches(
+            BroadcastJoin, batch_format="pandas", concurrency=(1, 8)
+        )
+
+    # partitioned bucket join: common schema = left columns + renamed
+    # right value columns + bucket + side marker; each side null-pads
+    # the other's columns, the right key lands in the LEFT key slot so
+    # the group merge sees one key column
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch.column(on), buckets)
+        cols = {c: batch.column(c) for c in left_cols}
+        for c in rcols:
+            cols[ren[c]] = pa.nulls(len(b), rschema.field(c).type)
+        cols["bucket"] = pa.array(b, pa.int32())
+        cols["is_right"] = pa.array(np.zeros(len(b), np.bool_))
+        return pa.table(cols)
+
+    lschema = _pa_schema(left)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch.column(right_on), buckets)
+        cols = {
+            c: pa.nulls(len(b), lschema.field(c).type) for c in left_cols
+        }
+        cols[on] = batch.column(right_on).cast(lschema.field(on).type)
+        for c in rcols:
+            cols[ren[c]] = batch.column(c)
+        cols["bucket"] = pa.array(b, pa.int32())
+        cols["is_right"] = pa.array(np.ones(len(b), np.bool_))
+        return pa.table(cols)
+
+    # null-padding turns int columns float in the pandas group frame;
+    # after the merge the padded nulls are gone (inner: both sides
+    # matched; left: left cols are never null), so cast back
+    int_restore = {
+        c: lschema.field(c).type.to_pandas_dtype()
+        for c in left_cols
+        if pa.types.is_integer(lschema.field(c).type)
+    }
+    if how == "inner":
+        int_restore.update(
+            (ren[c], rschema.field(c).type.to_pandas_dtype())
+            for c in rcols
+            if pa.types.is_integer(rschema.field(c).type)
+        )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["is_right"]]
+        l = g[~g["is_right"]]
+        out = l[left_cols].merge(r[[on] + out_rcols], on=on, how=how)
+        for c, dt in int_restore.items():
+            out[c] = out[c].astype(dt)
+        return out
+
+    tl = left.map_batches(tag_left, batch_format="pyarrow")
+    tr = right.map_batches(tag_right, batch_format="pyarrow")
+    return tl.union(tr).groupby("bucket").map_groups(
+        join_group, batch_format="pandas"
+    )

@@ -1,0 +1,91 @@
+"""Generic hash_join: broadcast and partitioned paths must agree with
+each other and with a pandas merge, for int and string keys."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raylinkgraph.functions.joins import hash_join
+
+
+def _mk(n_left=500, n_right=80, seed=3):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 100, n_left).astype(np.int64),
+            "x": rng.standard_normal(n_left),
+            "tag": [f"t{i % 7}" for i in range(n_left)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.choice(100, n_right, replace=False).astype(np.int64),
+            "y": rng.integers(0, 1000, n_right).astype(np.int64),
+            # clashing name exercises the rsuffix rename
+            "x": rng.standard_normal(n_right),
+        }
+    )
+    return left, right
+
+
+def _norm(df):
+    return (
+        df.sort_values(list(df.columns))
+        .reset_index(drop=True)
+        .round(12)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_matches_pandas(ray_session, how):
+    left, right = _mk()
+    want = left.merge(
+        right.rename(columns={"rk": "k", "x": "x_r"}), on="k", how=how
+    )
+    for limit in (10**6, 0):  # broadcast path, then partitioned path
+        got = hash_join(
+            rd.from_pandas(left.copy()),
+            rd.from_pandas(right.copy()),
+            on="k",
+            right_on="rk",
+            how=how,
+            broadcast_limit=limit,
+            buckets=8,
+        ).to_pandas()
+        assert sorted(got.columns) == sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            _norm(got)[sorted(got.columns)],
+            _norm(want)[sorted(want.columns)],
+            check_dtype=(how == "inner"),  # left join NaNs float-pad ints
+        )
+
+
+def test_hash_join_string_keys_and_dtypes(ray_session):
+    left = pd.DataFrame(
+        {"url": [f"u{i % 9}" for i in range(60)],
+         "v": np.arange(60, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(6)],
+         "gid": np.arange(6, dtype=np.int64) * 10}
+    )
+    got = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="url",
+        broadcast_limit=0, buckets=4,
+    ).to_pandas()
+    want = left.merge(right, on="url", how="inner")
+    # int columns survive the null-padding round trip as int64
+    assert got["v"].dtype == np.int64 and got["gid"].dtype == np.int64
+    pd.testing.assert_frame_equal(
+        _norm(got)[sorted(got.columns)], _norm(want)[sorted(want.columns)]
+    )
+
+
+def test_hash_join_rejects_bad_how(ray_session):
+    left, right = _mk(10, 5)
+    with pytest.raises(ValueError):
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", how="outer",
+        )
