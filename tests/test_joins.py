@@ -82,6 +82,30 @@ def test_hash_join_string_keys_and_dtypes(ray_session):
     )
 
 
+def test_hash_join_many_to_many(ray_session):
+    # duplicate keys on BOTH sides: the per-bucket merge must expand
+    # m x n, identically on both paths
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 10, 200).astype(np.int64),
+         "lv": np.arange(200, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 10, 50).astype(np.int64),
+         "rv": np.arange(50, dtype=np.int64)}
+    )
+    want = left.merge(right, on="k", how="inner")
+    for limit in (10**6, 0):
+        got = hash_join(
+            rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+            on="k", broadcast_limit=limit, buckets=4,
+        ).to_pandas()
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(
+            _norm(got)[sorted(got.columns)], _norm(want)[sorted(want.columns)]
+        )
+
+
 def test_hash_join_rejects_bad_how(ray_session):
     left, right = _mk(10, 5)
     with pytest.raises(ValueError):
