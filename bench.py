@@ -41,6 +41,26 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def box_probe_mops() -> float:
+    """Single-thread random-gather rate (Mops/s) over a fixed 128 MB
+    array — an engine-independent box-health marker. The work is
+    identical every run, so differences here measure HOST contention
+    (this VM has shown 2-6x noisy-neighbor swings), not the engine;
+    read bench wall-times relative to it."""
+    import numpy as np
+
+    a = np.arange(1 << 24, dtype=np.int64)
+    idx = np.random.Generator(np.random.Philox(key=[3, 0])).integers(
+        0, len(a), 1 << 23
+    )
+    best = float("inf")
+    for _ in range(3):  # best-of-3: identical work observed 100x apart
+        t0 = time.perf_counter()
+        a[idx].sum()
+        best = min(best, time.perf_counter() - t0)
+    return round((1 << 23) / best / 1e6, 1)
+
+
 def run_bench() -> dict:
     if not os.path.isdir(SF_DIR):
         raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
@@ -179,6 +199,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "pagerank": pagerank,
+        "box_gather_mops": box_probe_mops(),
     }
 
 
@@ -255,6 +276,7 @@ def run_scale_pagerank() -> dict:
         "round_secs": [round(r, 4) for r in res.round_secs],
         "n_edges": graph.n_edges,
         "num_cpus": NUM_CPUS,
+        "box_gather_mops": box_probe_mops(),
     }
 
 

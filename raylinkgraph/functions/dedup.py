@@ -17,6 +17,7 @@ parallelism.
 from __future__ import annotations
 
 import re
+import sys
 
 import numpy as np
 import pandas as pd
@@ -264,7 +265,8 @@ def minhash_lsh_pairs(
                 f"[minhash_lsh] hot bucket (n={n}) two-probe sub-split: "
                 f"{cross_lb}..{cross_ub} pairs outside both probes (compared "
                 f"only if another band co-locates them), {chunk_skipped} "
-                f"pairs chunked apart inside oversized sub-buckets"
+                f"pairs chunked apart inside oversized sub-buckets",
+                file=sys.stderr,  # keep stdout clean for the bench JSON line
             )
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
@@ -399,7 +401,8 @@ def simhash_pairs(
             if len(sids) > MAXB:
                 skipped += 1
         if skipped:
-            print(f"[simhash] hot bucket (n={n}): {skipped} sub-buckets chunked")
+            print(f"[simhash] hot bucket (n={n}): {skipped} sub-buckets chunked",
+                  file=sys.stderr)
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
 
