@@ -1644,6 +1644,40 @@ def q_media_audio(sf_dir):
     return out[["media_id", "dur_ms", "zcr_e6"]]
 
 
+_SAMPLE_FRACTIONS = {"en": 0.35, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.5}
+
+
+def q_doc_stratified_sample(sf_dir):
+    """Deterministic per-language downsampling (training-data
+    rebalancing): keep doc iff (doc_id * 2654435761) mod 2^32 is below
+    the language's integer threshold — a streaming filter, no shuffle,
+    no RNG; the SQL oracle embeds the identical constants."""
+    from raylinkgraph.functions.textops import stratified_sample
+
+    out = (
+        stratified_sample(_docs(sf_dir), _SAMPLE_FRACTIONS)
+        .to_pandas()[["doc_id", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _stratified_sample_sql() -> str:
+    from raylinkgraph.functions.textops import sample_thresholds
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}"
+        for k, v in sorted(sample_thresholds(_SAMPLE_FRACTIONS).items())
+    )
+    return (
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 "
+        f"< (CASE lang {cases} ELSE 0 END) "
+        "ORDER BY doc_id"
+    )
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1788,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_3path": q_graph_3path,
         "graph_kclique4": q_graph_kclique4,
         "doc_ngram_pairs": q_doc_ngram_pairs,
+        "doc_stratified_sample": q_doc_stratified_sample,
         # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,
@@ -3544,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents "
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
+        "doc_stratified_sample": _stratified_sample_sql(),
         "rel_customer_revenue": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
             "COUNT(*) AS n_orders, "

@@ -99,6 +99,45 @@ def quality_scores(docs: rd.Dataset, *, concurrency=(1, 4), batch_size=4096) -> 
     )
 
 
+def stratified_sample(
+    docs: rd.Dataset,
+    fractions: "dict[str, float]",
+    *,
+    key: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> rd.Dataset:
+    """Deterministic per-stratum downsampling (the language/quality
+    rebalancing step of a training-data pipeline): keep a row iff
+    ``(id * 2654435761) mod 2^32 < fraction(stratum) * 2^32`` (Knuth's
+    multiplicative hash). A pure streaming ``map_batches`` filter — no
+    shuffle, no RNG state, independent of partitioning and parallelism,
+    and exactly reproducible in SQL (the driver oracle runs the same
+    arithmetic), unlike ``Dataset.random_sample``."""
+    M = 1 << 32
+    # integer thresholds so the engine and a SQL oracle compare the
+    # exact same numbers (see sample_thresholds)
+    thr_map = {k: int(v * M) for k, v in fractions.items()}
+    thr_default = int(default * M)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(M)  # u64 wrap ≡ mod 2^64
+        keys = batch.column(key).to_pylist()
+        thr = np.array(
+            [thr_map.get(k, thr_default) for k in keys], np.uint64
+        )
+        return batch.filter(pa.array(h < thr))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def sample_thresholds(fractions: "dict[str, float]") -> "dict[str, int]":
+    """The integer thresholds stratified_sample compares against —
+    exposed so a SQL oracle can embed the identical constants."""
+    return {k: int(v * (1 << 32)) for k, v in fractions.items()}
+
+
 class LangId:
     """Actor-pool stage: stopword-overlap language ID with deterministic
     tie-break (alphabetical first among max scores; 'und' when no signal)."""

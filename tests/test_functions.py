@@ -145,6 +145,34 @@ def test_multimodal_plumbing(ray_session):
             stub(multimodal.fake_media_table(2))
 
 
+def test_stratified_sample(docs, docs_pdf):
+    fr = {"en": 0.3, "fr": 1.0, "zh": 0.0}
+    got = (
+        textops.stratified_sample(docs, fr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact reference: same Knuth-hash arithmetic row by row
+    thr = textops.sample_thresholds(fr)
+    h = (docs_pdf["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    keep = h < np.array([thr.get(l, 0) for l in docs_pdf["lang"]], np.uint64)
+    want = docs_pdf[keep].sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # fr=1.0 keeps every row of that stratum, 0.0 none
+    assert (got["lang"] == "zh").sum() == 0
+    n_fr = (docs_pdf["lang"] == "fr").sum()
+    assert (got["lang"] == "fr").sum() == n_fr
+    # repartitioning does not change the sample (pure per-row filter)
+    got2 = (
+        textops.stratified_sample(docs.repartition(7), fr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+
+
 def test_y4m_decode_exact():
     # neutral chroma (U=V=128) makes BT.601 the identity: decoded RGB
     # must equal the Y plane replicated across channels, bit-exact
