@@ -1644,6 +1644,17 @@ def q_media_audio(sf_dir):
     return out[["media_id", "dur_ms", "zcr_e6"]]
 
 
+def q_doc_top_bigrams(sf_dir):
+    """Corpus-wide top-50 bigrams via pre-combined per-batch partial
+    counts -> one groupby-sum -> total-ordered top-k (ties on the
+    bigram string). textops.top_ngrams."""
+    from raylinkgraph.functions.textops import top_ngrams
+
+    out = top_ngrams(_docs(sf_dir), n=2, k=50).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out[["ngram", "n"]].reset_index(drop=True)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.35, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.5}
 
 
@@ -1823,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kclique4": q_graph_kclique4,
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_top_bigrams": q_doc_top_bigrams,
         # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,
@@ -3580,6 +3592,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "doc_stratified_sample": _stratified_sample_sql(),
+        "doc_top_bigrams": (
+            r"SELECT bigram AS ngram, COUNT(*) AS n FROM ("
+            r"SELECT unnest(list_transform(range(1, len(toks)), "
+            r"i -> toks[i] || ' ' || toks[i+1])) AS bigram "
+            r"FROM (SELECT regexp_extract_all(text, '\S+') AS toks "
+            r"FROM documents) t) GROUP BY bigram "
+            r"ORDER BY n DESC, ngram LIMIT 50"
+        ),
         "rel_customer_revenue": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
             "COUNT(*) AS n_orders, "

@@ -99,6 +99,53 @@ def quality_scores(docs: rd.Dataset, *, concurrency=(1, 4), batch_size=4096) -> 
     )
 
 
+def top_ngrams(
+    docs: rd.Dataset,
+    *,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    batch_size: int = 2048,
+) -> rd.Dataset:
+    """Corpus-wide top-k whitespace n-grams -> (ngram, n) rows.
+
+    The combiner pattern for wide aggregations: each batch emits its
+    LOCAL n-gram counts (np.unique over elementwise-concatenated shifted
+    token arrays), so the groupby-sum shuffle moves one row per distinct
+    n-gram per batch instead of one per occurrence; ties at the top-k
+    cutoff break on the n-gram string, making the result total-ordered
+    and oracle-exact."""
+    from functools import reduce
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(_TOKEN_RE)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: list[np.ndarray] = []
+        for toks in batch[text_col].str.findall(pat):
+            if len(toks) < n:
+                continue
+            a = np.array(toks, dtype=object)
+            parts = [a[i : len(a) - n + 1 + i] for i in range(n)]
+            grams.append(reduce(lambda x, y: x + " " + y, parts))
+        if not grams:
+            return pd.DataFrame(
+                {"ngram": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        u, c = np.unique(np.concatenate(grams), return_counts=True)
+        return pd.DataFrame({"ngram": u, "n": c.astype(np.int64)})
+
+    return (
+        docs.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def stratified_sample(
     docs: rd.Dataset,
     fractions: "dict[str, float]",

@@ -173,6 +173,26 @@ def test_stratified_sample(docs, docs_pdf):
     assert got2["doc_id"].tolist() == got["doc_id"].tolist()
 
 
+def test_top_ngrams(docs, docs_pdf):
+    got = textops.top_ngrams(docs, n=2, k=20).to_pandas()
+    # brute-force oracle
+    from collections import Counter
+
+    c = Counter()
+    for t in docs_pdf["text"]:
+        toks = re.findall(r"\S+", t)
+        c.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["ngram"], got["n"])) == want
+    # combiner correctness is batch-size independent
+    got2 = textops.top_ngrams(docs, n=2, k=20, batch_size=37).to_pandas()
+    assert got2["ngram"].tolist() == got["ngram"].tolist()
+    assert got2["n"].tolist() == got["n"].tolist()
+    # trigrams run through the same generic path
+    tri = textops.top_ngrams(docs, n=3, k=5).to_pandas()
+    assert len(tri) == 5 and all(len(g.split(" ")) == 3 for g in tri["ngram"])
+
+
 def test_y4m_decode_exact():
     # neutral chroma (U=V=128) makes BT.601 the identity: decoded RGB
     # must equal the Y plane replicated across channels, bit-exact
