@@ -1655,6 +1655,20 @@ def q_doc_top_bigrams(sf_dir):
     return out[["ngram", "n"]].reset_index(drop=True)
 
 
+def q_doc_top_terms(sf_dir):
+    """Per-doc top-3 keywords by log-free tf-idf (tf/df: IEEE division
+    is correctly rounded, so engine and oracle doubles are bit-identical
+    and the ranking needs no tolerance). textops.top_terms."""
+    from raylinkgraph.functions.textops import top_terms
+
+    out = top_terms(_docs(sf_dir), k=3).to_pandas()
+    return (
+        out[["doc_id", "term", "rnk"]]
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 _SAMPLE_FRACTIONS = {"en": 0.35, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.5}
 
 
@@ -1835,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_top_terms": q_doc_top_terms,
         # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,
@@ -3592,6 +3607,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "doc_stratified_sample": _stratified_sample_sql(),
+        "doc_top_terms": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents), "
+            r"tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), "
+            r"df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term), "
+            r"scored AS (SELECT tf.doc_id, tf.term, "
+            r"row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rnk "
+            r"FROM tf JOIN df USING (term)) "
+            r"SELECT doc_id, term, rnk FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk"
+        ),
         "doc_top_bigrams": (
             r"SELECT bigram AS ngram, COUNT(*) AS n FROM ("
             r"SELECT unnest(list_transform(range(1, len(toks)), "

@@ -146,6 +146,97 @@ def top_ngrams(
     )
 
 
+def top_terms(
+    docs: rd.Dataset,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 2048,
+) -> rd.Dataset:
+    """Per-document top-k keywords by log-free tf-idf (score = tf / df)
+    -> (doc_id, term, rnk).
+
+    Log-free on purpose: IEEE-754 division is correctly rounded, so the
+    engine's numpy doubles and a SQL oracle's doubles are BIT-IDENTICAL
+    and the ranking (score desc, term asc) is total and exact — a log()
+    would be transcendental and last-ulp-dependent on the libm.
+
+    Two passes: (1) per-batch (term, partial-df) — each doc is one input
+    row, so its term set is complete within the batch (the combiner) —
+    then one groupby-sum builds the document-frequency table, broadcast
+    once via ray.put (sorted term array + searchsorted lookup); (2) the
+    docs stream again, score per doc against the broadcast, emit top-k.
+    At vocabulary sizes beyond broadcast, swap step 2's lookup for the
+    functions/joins.hash_join partitioned path on term."""
+    pat = re.compile(_TOKEN_RE)
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[np.ndarray] = []
+        for toks in batch[text_col].str.findall(pat):
+            if toks:
+                terms.append(np.unique(np.array(toks, dtype=object)))
+        if not terms:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=object),
+                 "df": pd.Series([], dtype=np.int64)}
+            )
+        u, c = np.unique(np.concatenate(terms), return_counts=True)
+        return pd.DataFrame({"term": u, "df": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    df_tab = (
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values("term")
+    )
+    import ray
+
+    ref = ray.put(
+        (df_tab["term"].to_numpy(dtype=object), df_tab["df"].to_numpy(np.float64))
+    )
+
+    class Score:
+        def __init__(self):
+            self.terms, self.df = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_id, out_term, out_rnk = [], [], []
+            ids = batch[id_col].to_numpy(np.int64)
+            for did, toks in zip(ids, batch[text_col].str.findall(pat)):
+                if not toks:
+                    continue
+                u, tf = np.unique(np.array(toks, dtype=object), return_counts=True)
+                score = tf.astype(np.float64) / self.df[
+                    np.searchsorted(self.terms, u)
+                ]
+                order = np.lexsort((u, -score))[:k]
+                out_id.append(np.full(len(order), did, np.int64))
+                out_term.append(u[order])
+                out_rnk.append(np.arange(1, len(order) + 1, dtype=np.int64))
+            if not out_id:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype=np.int64),
+                     "term": pd.Series([], dtype=object),
+                     "rnk": pd.Series([], dtype=np.int64)}
+                )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_id),
+                    "term": np.concatenate(out_term),
+                    "rnk": np.concatenate(out_rnk),
+                }
+            )
+
+    return docs.map_batches(
+        Score, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, 8), num_cpus=1,
+    )
+
+
 def stratified_sample(
     docs: rd.Dataset,
     fractions: "dict[str, float]",

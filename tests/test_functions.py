@@ -193,6 +193,28 @@ def test_top_ngrams(docs, docs_pdf):
     assert len(tri) == 5 and all(len(g.split(" ")) == 3 for g in tri["ngram"])
 
 
+def test_top_terms(docs, docs_pdf):
+    got = textops.top_terms(docs, k=3).to_pandas()
+    # brute-force log-free tf-idf oracle
+    from collections import Counter
+
+    tok = {
+        r["doc_id"]: re.findall(r"\S+", r["text"])
+        for _, r in docs_pdf.iterrows()
+    }
+    df = Counter()
+    for toks in tok.values():
+        df.update(set(toks))
+    want = []
+    for did in sorted(tok):
+        tf = Counter(tok[did])
+        ranked = sorted(tf, key=lambda t: (-(tf[t] / df[t]), t))[:3]
+        for r, t in enumerate(ranked, 1):
+            want.append((did, t, r))
+    got = got.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    assert list(zip(got["doc_id"], got["term"], got["rnk"])) == want
+
+
 def test_y4m_decode_exact():
     # neutral chroma (U=V=128) makes BT.601 the identity: decoded RGB
     # must equal the Y plane replicated across channels, bit-exact
