@@ -1669,6 +1669,32 @@ def q_doc_top_terms(sf_dir):
     )
 
 
+def q_doc_distinct_terms_hll(sf_dir):
+    """Approximate COUNT(DISTINCT term) over all document tokens via a
+    mergeable HyperLogLog (p=12): per-batch partial registers (<=4096
+    rows each), one groupby-max, estimate from the merged registers —
+    a fixed-size exchange regardless of corpus size, vs the all-to-all
+    shuffle an exact distinct needs. Deterministic hashing, so the
+    estimate is stable across partitionings; rows-only driver check
+    (accuracy bound + determinism pinned in pytest). sketches.py."""
+    import pyarrow as pa
+    import ray.data as rd  # noqa: F401
+
+    from raylinkgraph.functions.sketches import approx_distinct
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(r"\S+")
+        return pd.DataFrame(
+            {"term": np.concatenate([np.array(t, dtype=object) for t in toks])}
+        )
+
+    toks = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+    est = approx_distinct(toks, "term", p=12)
+    return pd.DataFrame(
+        {"metric": ["distinct_terms_hll_p12"], "estimate": [int(round(est))]}
+    )
+
+
 _SAMPLE_FRACTIONS = {"en": 0.35, "fr": 0.8, "es": 0.8, "de": 0.8, "zh": 0.5}
 
 
@@ -1850,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
         "doc_top_terms": q_doc_top_terms,
+        "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
         # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,

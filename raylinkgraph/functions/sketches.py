@@ -1,0 +1,111 @@
+"""Mergeable sketches for cardinality at scale.
+
+HyperLogLog (Flajolet et al. 2007, the standard bias-corrected form):
+each batch emits its PARTIAL register maxima (at most 2^p rows — the
+combiner), one groupby-max merges them, and the estimate is computed
+from the 2^p final registers. Nothing proportional to the distinct
+count ever moves or materializes, which is the point at 100 TB: exact
+COUNT(DISTINCT url) is an all-to-all shuffle of every distinct value;
+this is a fixed 2^p-row exchange regardless of input size. Fully
+deterministic (splitmix64 / crc32 hashing — no RNG), so results are
+reproducible across runs, partitionings, and parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raylinkgraph.functions.hashing import crc32_str, splitmix64
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hash_column(vals, is_str: bool) -> np.ndarray:
+    if is_str:
+        # crc32 alone has only 32 bits; widen deterministically
+        h32 = crc32_str(vals.to_pylist()).astype(np.uint64)
+        return splitmix64(h32)
+    v = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return splitmix64(v)
+
+
+def hll_partials(
+    ds: rd.Dataset, col: str, *, p: int = 12, batch_size: int = 65536
+) -> rd.Dataset:
+    """Per-batch HLL register partial maxima -> (register, rank) rows."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col)
+        is_str = pa.types.is_string(vals.type) or pa.types.is_large_string(
+            vals.type
+        )
+        h = _hash_column(vals, is_str)
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # top (64-p) significant bits remain
+        # rank = leading zeros of `rest` within (64-p) bits, + 1;
+        # all-zero rest -> rank (64-p)+1
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, np.int64)
+        # bit_length via log2 is unsafe at 64 bits; use the float64
+        # exponent trick only below 2^53 — instead do it exactly with
+        # a de Bruijn-free loop over 6 shifts (branchless, vectorized)
+        x = rest[nz]
+        n = np.zeros(x.shape, np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            n[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        lz[nz] = n
+        rank = np.minimum(lz, 64 - p) + 1
+        out = pd.DataFrame({"register": reg, "rank": rank})
+        out = out.groupby("register", as_index=False)["rank"].max()
+        return pa.table(
+            {
+                "register": pa.array(out["register"].to_numpy(np.int64)),
+                "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+
+
+def hll_estimate(registers: np.ndarray, p: int = 12) -> float:
+    """Bias-corrected HLL estimate from the 2^p final register ranks
+    (0 = never touched)."""
+    m = 1 << p
+    full = registers.astype(np.float64)
+    raw = _hll_alpha(m) * m * m / np.sum(np.power(2.0, -full))
+    zeros = int((full == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting, small range
+    return float(raw)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): partial registers -> groupby-max
+    -> estimate. Deterministic; standard error ~= 1.04 / sqrt(2^p)."""
+    merged = (
+        hll_partials(ds, col, p=p)
+        .groupby("register")
+        .max("rank")
+        .to_pandas()
+    )
+    m = 1 << p
+    regs = np.zeros(m, np.float64)
+    regs[merged["register"].to_numpy(np.int64)] = merged["max(rank)"].to_numpy(
+        np.float64
+    )
+    return hll_estimate(regs, p)

@@ -340,3 +340,21 @@ def test_ivf_knn_recall_and_determinism(ray_session):
         concurrency=2,
     )
     pd.testing.assert_frame_equal(approx, approx2)
+
+
+def test_hll_approx_distinct(docs, docs_pdf):
+    from raylinkgraph.functions import sketches
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(r"\S+")
+        return pd.DataFrame(
+            {"term": np.concatenate([np.array(t, dtype=object) for t in toks])}
+        )
+
+    toks = docs.map_batches(explode, batch_format="pandas")
+    est = sketches.approx_distinct(toks, "term", p=12)
+    true = len({t for x in docs_pdf["text"] for t in re.findall(r"\S+", x)})
+    assert abs(est - true) / true < 0.05  # p=12 sigma ~1.6%
+    # deterministic and partition-invariant
+    est2 = sketches.approx_distinct(toks.repartition(5), "term", p=12)
+    assert est2 == est
