@@ -88,12 +88,29 @@ def hash_join(
         rp = rp.rename(columns={right_on: on}) if right_on != on else rp
         ref = ray.put(rp)
 
+        # uniform dtype contract for how="left": right value int columns
+        # are ALWAYS float64 (a fully-matched block would otherwise stay
+        # int64 while a block with misses goes float — mixed block
+        # schemas downstream)
+        lfloat = (
+            {
+                ren[c]
+                for c in rcols
+                if pa.types.is_integer(rschema.field(c).type)
+            }
+            if how == "left"
+            else set()
+        )
+
         class BroadcastJoin:
             def __init__(self):
                 self.r = ray.get(ref)
 
             def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return batch.merge(self.r, on=on, how=how)
+                out = batch.merge(self.r, on=on, how=how)
+                for c in lfloat:
+                    out[c] = out[c].astype(np.float64)
+                return out
 
         return left.map_batches(
             BroadcastJoin, batch_format="pandas", concurrency=(1, 8)
@@ -134,12 +151,18 @@ def hash_join(
         for c in left_cols
         if pa.types.is_integer(lschema.field(c).type)
     }
+    rint = [
+        ren[c] for c in rcols if pa.types.is_integer(rschema.field(c).type)
+    ]
     if how == "inner":
         int_restore.update(
             (ren[c], rschema.field(c).type.to_pandas_dtype())
             for c in rcols
             if pa.types.is_integer(rschema.field(c).type)
         )
+    else:
+        # same uniform how="left" contract as the broadcast path
+        int_restore.update((c, np.float64) for c in rint)
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         r = g[g["is_right"]]
