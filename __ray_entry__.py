@@ -1655,6 +1655,21 @@ def q_doc_top_bigrams(sf_dir):
     return out[["ngram", "n"]].reset_index(drop=True)
 
 
+def q_doc_normalize(sf_dir):
+    """Lowercase + ASCII-whitespace collapse + strip over every doc
+    (C4-style cleanup); the SQL oracle applies the identical explicit
+    character class (Python \\s is Unicode-wide, RE2's is ASCII, so
+    neither side uses \\s). textops.normalize_text."""
+    from raylinkgraph.functions.textops import normalize_text
+
+    out = normalize_text(_docs(sf_dir)).to_pandas()
+    return (
+        out[["doc_id", "norm_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_top_terms(sf_dir):
     """Per-doc top-3 keywords by log-free tf-idf (tf/df: IEEE division
     is correctly rounded, so engine and oracle doubles are bit-identical
@@ -1875,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_normalize": q_doc_normalize,
         "doc_top_terms": q_doc_top_terms,
         "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
         # -- (3) green in round 2 ---------------------------------------
@@ -3634,6 +3650,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "doc_stratified_sample": _stratified_sample_sql(),
+        "doc_normalize": (
+            r"SELECT doc_id, trim(regexp_replace(lower(text), "
+            r"'[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text "
+            r"FROM documents ORDER BY doc_id"
+        ),
         "doc_top_terms": (
             r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents), "
             r"tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), "

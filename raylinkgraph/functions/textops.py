@@ -99,6 +99,30 @@ def quality_scores(docs: rd.Dataset, *, concurrency=(1, 4), batch_size=4096) -> 
     )
 
 
+_WS_CLASS = r"[ \t\n\r\f\v]+"  # explicit class: Python \s is Unicode-wide
+# while RE2 (DuckDB) \s is ASCII — an explicit class keeps an SQL oracle
+# character-for-character equivalent
+
+
+def normalize_text(
+    docs: rd.Dataset, *, text_col: str = "text", out_col: str = "norm_text"
+) -> rd.Dataset:
+    """C4-style cleanup: lowercase + collapse runs of ASCII whitespace to
+    one space + strip. Vectorized pandas str kernels; stateless
+    map_batches (streams at any scale)."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out[out_col] = (
+            batch[text_col]
+            .str.lower()
+            .str.replace(_WS_CLASS, " ", regex=True)
+            .str.strip(" ")
+        )
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def top_ngrams(
     docs: rd.Dataset,
     *,
