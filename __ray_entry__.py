@@ -1744,6 +1744,20 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def q_graph_common_neighbors(sf_dir):
+    """Link prediction on the customer-part bipartite graph: top-20
+    customer pairs by co-purchased-part count (common neighbors).
+    graph_ops.top_common_neighbor_pairs — per-center pair expansion,
+    pre-combined partial counts, one groupby-sum, total-ordered top-k."""
+    from raylinkgraph.pipelines.graph_ops import top_common_neighbor_pairs
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    out = top_common_neighbor_pairs(g.edges_ds(), k=20)
+    out[["a", "b", "n"]] = out[["a", "b", "n"]].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1873,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
         "rel_customer_revenue": q_rel_customer_revenue,
+        "graph_common_neighbors": q_graph_common_neighbors,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3671,6 +3686,13 @@ def oracle_sql() -> dict[str, str]:
             r"FROM (SELECT regexp_extract_all(text, '\S+') AS toks "
             r"FROM documents) t) GROUP BY bigram "
             r"ORDER BY n DESC, ngram LIMIT 50"
+        ),
+        "graph_common_neighbors": (
+            f"SELECT a, b, COUNT(*) AS n FROM ("
+            f"SELECT e1.src_id AS a, e2.src_id AS b FROM ({_EDGES}) e1 "
+            f"JOIN ({_EDGES}) e2 ON e1.dst_id = e2.dst_id "
+            f"AND e1.src_id < e2.src_id) "
+            f"GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20"
         ),
         "rel_customer_revenue": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
