@@ -1744,6 +1744,23 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _link_pred_sql(weight_expr: str) -> str:
+    """Top-20 (a, b, score_e6) by summed per-center weight; `deg` is the
+    center's distinct-source degree. Scores quantize to micro-units
+    BEFORE ordering so ties resolve exactly as the engine's."""
+    return (
+        f"WITH e AS ({_EDGES}), "
+        f"deg AS (SELECT dst_id, COUNT(DISTINCT src_id) AS deg "
+        f"FROM e GROUP BY dst_id) "
+        f"SELECT a, b, CAST(FLOOR(SUM(w) * 1e6 + 0.5) AS BIGINT) AS score_e6 "
+        f"FROM (SELECT e1.src_id AS a, e2.src_id AS b, {weight_expr} AS w "
+        f"FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id "
+        f"AND e1.src_id < e2.src_id "
+        f"JOIN deg d ON d.dst_id = e1.dst_id) "
+        f"GROUP BY a, b ORDER BY score_e6 DESC, a, b LIMIT 20"
+    )
+
+
 def q_graph_common_neighbors(sf_dir):
     """Link prediction on the customer-part bipartite graph: top-20
     customer pairs by co-purchased-part count (common neighbors).
@@ -1755,6 +1772,31 @@ def q_graph_common_neighbors(sf_dir):
     g = get_graph(sf_dir, "cp")
     out = top_common_neighbor_pairs(g.edges_ds(), k=20)
     out[["a", "b", "n"]] = out[["a", "b", "n"]].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_graph_adamic_adar(sf_dir):
+    """Adamic-Adar link prediction on the customer-part bipartite graph:
+    top-20 customer pairs by sum(1/ln(deg(part))) over co-purchased
+    parts. graph_ops.top_link_pred_pairs — per-center weights are local
+    to the center's hash bucket (no degree join); scores quantized to
+    micro-units so engine and oracle break ties identically."""
+    from raylinkgraph.pipelines.graph_ops import top_link_pred_pairs
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    out = top_link_pred_pairs(g.edges_ds(), method="adamic_adar", k=20)
+    return out.reset_index(drop=True)
+
+
+def q_graph_resource_alloc(sf_dir):
+    """Resource-allocation link prediction (Zhou et al. 2009): top-20
+    customer pairs by sum(1/deg(part)) over co-purchased parts."""
+    from raylinkgraph.pipelines.graph_ops import top_link_pred_pairs
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    out = top_link_pred_pairs(g.edges_ds(), method="ra", k=20)
     return out.reset_index(drop=True)
 
 
@@ -1888,6 +1930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": q_rel_top_parts,
         "rel_customer_revenue": q_rel_customer_revenue,
         "graph_common_neighbors": q_graph_common_neighbors,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_resource_alloc": q_graph_resource_alloc,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3694,6 +3738,8 @@ def oracle_sql() -> dict[str, str]:
             f"AND e1.src_id < e2.src_id) "
             f"GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20"
         ),
+        "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
+        "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
         "rel_customer_revenue": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
             "COUNT(*) AS n_orders, "
