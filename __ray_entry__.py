@@ -1800,6 +1800,19 @@ def q_graph_resource_alloc(sf_dir):
     return out.reset_index(drop=True)
 
 
+def q_graph_jaccard_pairs(sf_dir):
+    """Jaccard-coefficient link prediction: top-20 customer pairs by
+    |shared parts| / |union of parts|. Needs both endpoints' degrees, so
+    graph_ops._jaccard_pairs routes each pair row through two bucketed
+    degree-attach shuffles (no O(V) broadcast)."""
+    from raylinkgraph.pipelines.graph_ops import top_link_pred_pairs
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "cp")
+    out = top_link_pred_pairs(g.edges_ds(), method="jaccard", k=20)
+    return out.reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1932,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_common_neighbors": q_graph_common_neighbors,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_resource_alloc": q_graph_resource_alloc,
+        "graph_jaccard_pairs": q_graph_jaccard_pairs,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3740,6 +3754,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "graph_jaccard_pairs": (
+            f"WITH e AS ({_EDGES}), "
+            f"deg AS (SELECT src_id, COUNT(DISTINCT dst_id) AS deg "
+            f"FROM e GROUP BY src_id), "
+            f"cn AS (SELECT e1.src_id AS a, e2.src_id AS b, COUNT(*) AS n "
+            f"FROM e e1 JOIN e e2 ON e1.dst_id = e2.dst_id "
+            f"AND e1.src_id < e2.src_id GROUP BY a, b) "
+            f"SELECT a, b, CAST(FLOOR(n * 1.0 / (da.deg + db.deg - n) * 1e6 "
+            f"+ 0.5) AS BIGINT) AS score_e6 "
+            f"FROM cn JOIN deg da ON da.src_id = cn.a "
+            f"JOIN deg db ON db.src_id = cn.b "
+            f"ORDER BY score_e6 DESC, a, b LIMIT 20"
+        ),
         "rel_customer_revenue": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
             "COUNT(*) AS n_orders, "

@@ -559,8 +559,11 @@ def top_link_pred_pairs(
       cn           1              (common-neighbor count)
       adamic_adar  1 / ln(deg c)  (Adamic & Adar 2003)
       ra           1 / deg c      (resource allocation, Zhou et al. 2009)
-    deg(c) is LOCAL to c's hash bucket (every edge into c lands there),
-    so — unlike the Jaccard coefficient — no degree join is needed.
+      jaccard      |Γa ∩ Γb| / |Γa ∪ Γb| — NOT a per-center weight; it
+                   needs deg(a)/deg(b) and takes the _jaccard_pairs
+                   path (two extra bucketed degree-attach shuffles).
+    For the weighted methods deg(c) is LOCAL to c's hash bucket (every
+    edge into c lands there), so no degree join is needed.
 
     Two bucketed shuffles, both of ``buckets`` groups — NEVER a raw
     groupby over a high-cardinality key (Ray Data's groupby dispatch
@@ -575,6 +578,10 @@ def top_link_pred_pairs(
     so the global top-k is a subset of the B*k survivors), which the
     driver merges. Ties break on (a, b): total-ordered, oracle-exact.
     """
+    if method == "jaccard":
+        return _jaccard_pairs(
+            edges, k=k, src_col=src_col, dst_col=dst_col, buckets=buckets
+        )
     wfun = {
         "cn": lambda deg: np.ones(len(deg)),
         "adamic_adar": lambda deg: 1.0 / np.log(deg),
@@ -641,6 +648,168 @@ def top_link_pred_pairs(
         {
             "a": enc >> np.int64(32),
             "b": enc & np.int64((1 << 32) - 1),
+            "score_e6": top["score_e6"].to_numpy(np.int64),
+        }
+    )
+
+
+def _jaccard_pairs(
+    edges: rd.Dataset,
+    *,
+    k: int,
+    src_col: str,
+    dst_col: str,
+    buckets: int,
+) -> pd.DataFrame:
+    """Jaccard-coefficient link prediction: top-k (a, b, score_e6) with
+    score = cn / (deg a + deg b - cn), deg = distinct-center degree.
+
+    Unlike the per-center-weighted methods, the denominator needs BOTH
+    endpoints' degrees, so after the common-neighbor fold each pair row
+    is routed twice more — hash(a) then hash(b) — through union +
+    groupby bucket joins against the O(V) degree table (never collected
+    or broadcast). Scores quantize to micro-units before the per-bucket
+    top-k; every pair row is unique after the cn fold, so the global
+    top-k is a subset of the per-bucket survivors.
+    """
+    LOW32 = np.int64((1 << 32) - 1)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s": b[src_col].to_numpy(np.int64),
+                "d": b[dst_col].to_numpy(np.int64),
+                "__b": partition_of(b[dst_col].to_numpy(np.int64), buckets),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["d", "s"]).sort_values(["d", "s"])
+        d = g["d"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        chunks = []
+        for lo, hi in zip(starts, ends):
+            if hi - lo < 2:
+                continue
+            iu = np.triu_indices(hi - lo, 1)
+            sv = s[lo:hi]
+            chunks.append((sv[iu[0]] << np.int64(32)) | sv[iu[1]])
+        if not chunks:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "__p": pd.Series([], dtype=np.int32)})
+        u, c = np.unique(np.concatenate(chunks), return_counts=True)
+        return pd.DataFrame(
+            {"pair": u, "n": c.astype(np.int64), "__p": partition_of(u, buckets)}
+        )
+
+    def fold_route_a(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["pair"].to_numpy(np.int64), return_inverse=True)
+        n = np.bincount(inv, weights=g["n"].to_numpy(np.float64)).astype(np.int64)
+        a = u >> np.int64(32)
+        return pd.DataFrame(
+            {"pair": u, "n": n, "deg": np.int64(-1), "key": a,
+             "side": np.int8(1), "__r": partition_of(a, buckets)}
+        )
+
+    def degree_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # all of s's edges are in s's bucket: run lengths = global degree
+        g = g.drop_duplicates(["s", "d"]).sort_values("s")
+        s = g["s"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        deg = np.diff(np.r_[starts, len(s)]).astype(np.int64)
+        sv = s[starts]
+        return pd.DataFrame(
+            {"pair": np.int64(-1), "n": np.int64(0), "deg": deg, "key": sv,
+             "side": np.int8(0), "__r": partition_of(sv, buckets)}
+        )
+
+    def make_attach(route_b: bool):
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            dd = g[g["side"] == 0].sort_values("key")
+            pr = g[g["side"] == 1]
+            if not len(pr):
+                if route_b:
+                    return pd.DataFrame(
+                        {c: pd.Series([], dtype=g[c].dtype) for c in g.columns}
+                    )
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=np.int64)
+                     for c in ("pair", "n", "da", "db")}
+                )
+            keys = dd["key"].to_numpy(np.int64)
+            degs = dd["deg"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(keys, pr["key"].to_numpy(np.int64)),
+                             max(len(keys) - 1, 0))
+            got = degs[pos] if len(keys) else np.full(len(pr), -1, np.int64)
+            out = pr.copy()
+            if route_b:
+                # first attach: stash deg(a) in `n`'s high bits? No —
+                # carry it in `deg`, reroute on b = low 32 bits of pair
+                out["deg"] = got
+                b = out["pair"].to_numpy(np.int64) & LOW32
+                out["key"] = b
+                out["__r"] = partition_of(b, buckets)
+                return out
+            out["da"] = out["deg"].to_numpy(np.int64)
+            out["db"] = got
+            return out[["pair", "n", "da", "db"]]
+
+        return attach
+
+    def topk_local(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        union_sz = (g["da"].to_numpy(np.float64)
+                    + g["db"].to_numpy(np.float64) - n)
+        q = np.floor(n / union_sz * 1e6 + 0.5).astype(np.int64)
+        u = g["pair"].to_numpy(np.int64)
+        order = np.lexsort((u, -q))[:k]
+        return pd.DataFrame({"pair": u[order], "score_e6": q[order]})
+
+    src_bucketed = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"s": b[src_col].to_numpy(np.int64),
+             "d": b[dst_col].to_numpy(np.int64),
+             "__r": partition_of(b[src_col].to_numpy(np.int64), buckets)}
+        ),
+        batch_format="pandas",
+    )
+    deg_ds = (
+        src_bucketed.groupby("__r")
+        .map_groups(degree_rows, batch_format="pandas")
+        .materialize()  # O(V) rows, reused by both attach passes
+    )
+
+    pair_rows = (
+        edges.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold_route_a, batch_format="pandas")
+    )
+
+    with_da = (
+        pair_rows.union(deg_ds)
+        .groupby("__r")
+        .map_groups(make_attach(route_b=True), batch_format="pandas")
+    )
+    scored = (
+        with_da.union(deg_ds)
+        .groupby("__r")
+        .map_groups(make_attach(route_b=False), batch_format="pandas")
+        .map_batches(topk_local, batch_format="pandas")
+        .to_pandas()
+    )
+    order = np.lexsort((scored["pair"].to_numpy(np.int64),
+                        -scored["score_e6"].to_numpy(np.int64)))[:k]
+    top = scored.iloc[order]
+    enc = top["pair"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "a": enc >> np.int64(32),
+            "b": enc & LOW32,
             "score_e6": top["score_e6"].to_numpy(np.int64),
         }
     )

@@ -61,6 +61,23 @@ def test_ra_and_cn_toy(ray_session):
     assert cn["n"].dtype == np.int64
 
 
+@pytest.mark.parametrize("buckets", [1, 4])
+def test_jaccard_toy(ray_session, buckets):
+    # deg: 1->{100,101,103}=3, 2->{100,101,102}=3, 3->{100,102}=2
+    out = top_link_pred_pairs(
+        _toy_edges(), method="jaccard", k=10, buckets=buckets
+    )
+    ref = {(1, 2): 2 / 4, (1, 3): 1 / 4, (2, 3): 2 / 3}
+    got = {
+        (a, b): s / 1e6
+        for a, b, s in zip(out["a"], out["b"], out["score_e6"])
+    }
+    assert set(got) == set(ref)
+    for p in ref:
+        assert abs(got[p] - ref[p]) < 1e-5, p
+    assert (out.iloc[0]["a"], out.iloc[0]["b"]) == (2, 3)
+
+
 def test_duplicate_edges_ignored(ray_session):
     # a duplicated (src, dst) row must not inflate degree or pair count
     df = pd.DataFrame(
