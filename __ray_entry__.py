@@ -1813,6 +1813,27 @@ def q_graph_jaccard_pairs(sf_dir):
     return out.reset_index(drop=True)
 
 
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_rel_price_quantiles(sf_dir):
+    """Distributed exact quantiles of l_extendedprice (quantile_disc
+    semantics) via iterative range refinement — histogram partials +
+    tiny bucketed folds, no full sort (functions/quantiles.py).
+    max_local=5000 forces the refinement loop to actually run at the
+    driver's sf instead of short-circuiting to the resolve pass."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return exact_quantiles(
+        ds, "l_extendedprice", _QUANTILE_QS, max_local=5000
+    )
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1946,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_resource_alloc": q_graph_resource_alloc,
         "graph_jaccard_pairs": q_graph_jaccard_pairs,
+        "rel_price_quantiles": q_rel_price_quantiles,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3754,6 +3776,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        # quantile_disc requires CONSTANT q -> one UNION ALL arm per q
+        "rel_price_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({round(q * 1e6)} AS BIGINT) AS q_e6, "
+            f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+            for q in _QUANTILE_QS
+        ),
         "graph_jaccard_pairs": (
             f"WITH e AS ({_EDGES}), "
             f"deg AS (SELECT src_id, COUNT(DISTINCT dst_id) AS deg "
