@@ -1834,6 +1834,24 @@ def q_rel_price_quantiles(sf_dir):
     )
 
 
+def q_rel_grouped_quantiles(sf_dir):
+    """Per-returnflag exact quantiles (median + p90) of l_extendedprice:
+    ONE hash(key) shuffle of per-batch (key, value, count) partials,
+    vectorized per-group rank lookup (functions/quantiles.py)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    out = grouped_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    ).to_pandas()
+    return out.sort_values(["l_returnflag", "q_e6"]).reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1968,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_resource_alloc": q_graph_resource_alloc,
         "graph_jaccard_pairs": q_graph_jaccard_pairs,
         "rel_price_quantiles": q_rel_price_quantiles,
+        "rel_grouped_quantiles": q_rel_grouped_quantiles,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3776,6 +3795,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "rel_grouped_quantiles": (
+            "SELECT l_returnflag, 500000::BIGINT AS q_e6, "
+            "quantile_disc(l_extendedprice, 0.5) AS value "
+            "FROM lineitem GROUP BY l_returnflag UNION ALL "
+            "SELECT l_returnflag, 900000::BIGINT, "
+            "quantile_disc(l_extendedprice, 0.9) FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag, q_e6"
+        ),
         # quantile_disc requires CONSTANT q -> one UNION ALL arm per q
         "rel_price_quantiles": " UNION ALL ".join(
             f"SELECT CAST({round(q * 1e6)} AS BIGINT) AS q_e6, "

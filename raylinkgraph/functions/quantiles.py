@@ -214,3 +214,77 @@ def exact_quantiles(
             "value": np.array([t["value"] for t in targets], np.float64),
         }
     )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    *,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """Per-group quantile_disc -> (key, q_e6, value), exact.
+
+    ONE shuffle: rows hash-bucket on the group key (pre-combined per
+    batch into (key, value, count) partials, so heavy duplicate values
+    travel as one row); each bucket holds its groups entirely and
+    resolves every quantile vectorized from the sorted distinct-value
+    runs. Assumes per-GROUP distinct values fit a worker (the normal
+    case); a group too large for that needs exact_quantiles on its own
+    filtered column instead.
+    """
+    q_arr = np.asarray(qs, np.float64)
+    q_e6 = np.floor(q_arr * 1e6 + 0.5).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy()
+        v = b[val_col].to_numpy(np.float64)
+        m = ~np.isnan(v)
+        df = (
+            pd.DataFrame({"k": k[m], "v": v[m]})
+            .groupby(["k", "v"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        kk = df["k"].to_numpy()
+        if np.issubdtype(kk.dtype, np.integer):
+            part = partition_of(kk.astype(np.int64), buckets)
+        else:
+            from raylinkgraph.functions.hashing import crc32_str
+
+            part = (crc32_str(kk) % buckets).astype(np.int32)
+        df["__p"] = part
+        return df
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["k", "v"], sort=True)["cnt"].sum().reset_index()
+        out_k, out_q, out_v = [], [], []
+        kv = agg["k"].to_numpy()
+        vv = agg["v"].to_numpy(np.float64)
+        cc = agg["cnt"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(kv)]
+        for lo, hi in zip(starts, ends):
+            cum = np.cumsum(cc[lo:hi])
+            n = int(cum[-1])
+            ranks = np.maximum(0, np.ceil(q_arr * n).astype(np.int64) - 1)
+            idx = np.searchsorted(cum, ranks + 1)
+            out_k.append(np.repeat(kv[lo], len(q_arr)))
+            out_q.append(q_e6)
+            out_v.append(vv[lo:hi][idx])
+        if not out_k:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g["k"].dtype),
+                                 "q_e6": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame(
+            {key_col: np.concatenate(out_k), "q_e6": np.concatenate(out_q),
+             "value": np.concatenate(out_v)}
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -56,3 +56,34 @@ def test_empty_returns_no_rows(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)}))
     out = exact_quantiles(ds, "x", [0.5])
     assert len(out) == 0
+
+
+def test_grouped_quantiles_string_and_int_keys(ray_session):
+    from raylinkgraph.functions.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "ks": rng.choice(list("abc"), 5000),
+            "ki": rng.integers(0, 7, 5000).astype(np.int64),
+            "v": rng.normal(0, 10, 5000),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    for key in ("ks", "ki"):
+        got = (
+            grouped_quantiles(rd.from_pandas(df), key, "v", [0.25, 0.5, 1.0])
+            .to_pandas()
+            .sort_values([key, "q_e6"])
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            f"SELECT {key}, 250000::BIGINT q_e6, quantile_disc(v, 0.25) AS value FROM t GROUP BY {key} "
+            f"UNION ALL SELECT {key}, 500000::BIGINT, quantile_disc(v, 0.5) FROM t GROUP BY {key} "
+            f"UNION ALL SELECT {key}, 1000000::BIGINT, quantile_disc(v, 1.0) FROM t GROUP BY {key} "
+            f"ORDER BY {key}, q_e6"
+        ).fetchdf()
+        assert got[key].astype(str).tolist() == want[key].astype(str).tolist()
+        assert got["q_e6"].tolist() == want["q_e6"].tolist()
+        assert got["value"].tolist() == want["value"].tolist()
