@@ -1852,6 +1852,24 @@ def q_rel_grouped_quantiles(sf_dir):
     return out.sort_values(["l_returnflag", "q_e6"]).reset_index(drop=True)
 
 
+def q_rel_top_orders_per_status(sf_dir):
+    """ROW_NUMBER()-window top-3 orders per o_orderstatus by totalprice
+    (ties on o_orderkey): per-batch combiner keeps <= k rows per key
+    BEFORE the one hash(key) shuffle (functions/topk.py)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.topk import grouped_top_k
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderkey", "o_totalprice"],
+    )
+    out = grouped_top_k(
+        ds, "o_orderstatus", "o_totalprice", 3, tie_col="o_orderkey"
+    ).to_pandas()
+    return out.sort_values(["o_orderstatus", "rnk"]).reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -1987,6 +2005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_jaccard_pairs": q_graph_jaccard_pairs,
         "rel_price_quantiles": q_rel_price_quantiles,
         "rel_grouped_quantiles": q_rel_grouped_quantiles,
+        "rel_top_orders_per_status": q_rel_top_orders_per_status,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3795,6 +3814,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "rel_top_orders_per_status": (
+            "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk "
+            "FROM orders QUALIFY rnk <= 3 ORDER BY o_orderstatus, rnk"
+        ),
         "rel_grouped_quantiles": (
             "SELECT l_returnflag, 500000::BIGINT AS q_e6, "
             "quantile_disc(l_extendedprice, 0.5) AS value "

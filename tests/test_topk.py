@@ -1,0 +1,63 @@
+"""grouped_top_k: ROW_NUMBER parity on synthetic data, string-order
+descending path, ascending path, and groups smaller than k (the sf0.01
+oracle sweep covers rel_top_orders_per_status)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raylinkgraph.functions.topk import grouped_top_k
+
+
+def _frame(n=4000, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "key": rng.choice(list("pqrs"), n),
+            "val": rng.integers(0, 500, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "name": [f"row{i:05d}" for i in rng.permutation(n)],
+        }
+    )
+
+
+def _oracle(df, order, k, desc):
+    con = duckdb.connect()
+    con.register("t", df)
+    d = "DESC" if desc else "ASC"
+    return con.execute(
+        f"SELECT key, val, id, name, CAST(ROW_NUMBER() OVER "
+        f"(PARTITION BY key ORDER BY {order} {d}, id) AS BIGINT) AS rnk "
+        f"FROM t QUALIFY rnk <= {k} ORDER BY key, rnk"
+    ).fetchdf()
+
+
+def _check(df, order, k, desc):
+    got = (
+        grouped_top_k(
+            rd.from_pandas(df), "key", order, k, tie_col="id", descending=desc
+        )
+        .to_pandas()
+        .sort_values(["key", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(df, order, k, desc)
+    assert got[["key", "val", "id", "name", "rnk"]].astype(str).equals(
+        want[["key", "val", "id", "name", "rnk"]].astype(str)
+    ), (order, k, desc)
+
+
+def test_numeric_desc_and_asc(ray_session):
+    df = _frame()
+    _check(df, "val", 5, True)
+    _check(df, "val", 5, False)
+
+
+def test_string_order_desc(ray_session):
+    _check(_frame(), "name", 4, True)
+
+
+def test_small_groups_keep_all(ray_session):
+    df = _frame(n=6)  # groups smaller than k
+    _check(df, "val", 10, True)
