@@ -1870,6 +1870,50 @@ def q_rel_top_orders_per_status(sf_dir):
     return out.sort_values(["o_orderstatus", "rnk"]).reset_index(drop=True)
 
 
+def q_events_value_bands(sf_dir):
+    """Range join of events against 14 OVERLAPPING value bands
+    (lo=i*35, hi=i*35+50 — a row can match two) via the banded-broadcast
+    interval_join (functions/windows.py), then per-band (count, cents)
+    partials and one tiny groupby-sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raylinkgraph.functions.windows import interval_join
+
+    bands = pd.DataFrame(
+        {
+            "band_id": np.arange(14, dtype=np.int64),
+            "lo": np.arange(14) * 35.0,
+            "hi": np.arange(14) * 35.0 + 50.0,
+        }
+    )
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    joined = interval_join(ev, bands, "value", "lo", "hi")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("band_id")["value"].agg(["count", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "band_id": g["band_id"].astype(np.int64),
+                "n": g["count"].astype(np.int64),
+                "s": g["sum"].astype(np.float64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("band_id")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("band_id")
+        .reset_index(drop=True)
+    )
+    agg["total_cents"] = np.floor(
+        agg["s"].to_numpy(np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    return agg[["band_id", "n_events", "total_cents"]]
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2006,6 +2050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": q_rel_price_quantiles,
         "rel_grouped_quantiles": q_rel_grouped_quantiles,
         "rel_top_orders_per_status": q_rel_top_orders_per_status,
+        "events_value_bands": q_events_value_bands,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3814,6 +3859,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "events_value_bands": (
+            "SELECT b.i::BIGINT AS band_id, COUNT(*) AS n_events, "
+            "CAST(FLOOR(SUM(e.value) * 100 + 0.5) AS BIGINT) AS total_cents "
+            "FROM range(0, 14) b(i) JOIN events e "
+            "ON e.value >= b.i * 35.0 AND e.value < b.i * 35.0 + 50.0 "
+            "GROUP BY b.i ORDER BY band_id"
+        ),
         "rel_top_orders_per_status": (
             "SELECT o_orderstatus, o_orderkey, o_totalprice, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus "

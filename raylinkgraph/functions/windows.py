@@ -68,3 +68,78 @@ def asof_previous_event(
         )
 
     return events.groupby(key_col).map_groups(prev, batch_format="pandas")
+
+
+def interval_join(
+    ds: rd.Dataset,
+    intervals: pd.DataFrame,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    band_width: float | None = None,
+) -> rd.Dataset:
+    """Range join: every (row, interval) pair with lo <= val < hi
+    (half-open; intervals may OVERLAP, so a row can match several).
+    Output: the row's columns + the interval's columns.
+
+    The banded-broadcast pattern for the common small-interval-side
+    case (calendar windows, price bands): intervals are replicated
+    driver-side into fixed-width bands and the band -> candidate index
+    is ray.put ONCE; each batch groups its rows by band and compares
+    only against that band's candidates — no shuffle at all, and per
+    row the comparison set is the band's intervals, not all of them.
+    An interval side too large to broadcast should first be reduced
+    (coarser bands + per-band files) — not this entry point.
+    """
+    import ray
+
+    ivs = intervals.reset_index(drop=True)
+    lo = ivs[lo_col].to_numpy(np.float64)
+    hi = ivs[hi_col].to_numpy(np.float64)
+    if band_width is None:
+        band_width = float(np.median(hi - lo))
+    W = float(band_width)
+    band_lo = np.floor(lo / W).astype(np.int64)
+    # hi is exclusive: a zero-length or exact-boundary interval must not
+    # leak into the next band
+    band_hi = np.floor(np.nextafter(hi, -np.inf) / W).astype(np.int64)
+    index: dict[int, np.ndarray] = {}
+    for i in range(len(ivs)):
+        for b in range(band_lo[i], band_hi[i] + 1):
+            index.setdefault(b, []).append(i)
+    index = {b: np.array(v, np.int64) for b, v in index.items()}
+    ref = ray.put((index, lo, hi, ivs))
+
+    class Probe:
+        def __init__(self):
+            self.index, self.lo, self.hi, self.ivs = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch[val_col].to_numpy(np.float64)
+            bands = np.floor(v / W).astype(np.int64)
+            row_idx, iv_idx = [], []
+            for b in np.unique(bands):
+                cand = self.index.get(int(b))
+                if cand is None:
+                    continue
+                rows = np.flatnonzero(bands == b)
+                m = (v[rows, None] >= self.lo[cand][None, :]) & (
+                    v[rows, None] < self.hi[cand][None, :]
+                )
+                r, c = np.nonzero(m)
+                row_idx.append(rows[r])
+                iv_idx.append(cand[c])
+            if not row_idx:
+                out = batch.iloc[:0].copy()
+                for c in self.ivs.columns:
+                    out[c] = pd.Series([], dtype=self.ivs[c].dtype)
+                return out
+            ri = np.concatenate(row_idx)
+            ci = np.concatenate(iv_idx)
+            out = batch.iloc[ri].reset_index(drop=True)
+            for c in self.ivs.columns:
+                out[c] = self.ivs[c].to_numpy()[ci]
+            return out
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
