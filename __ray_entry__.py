@@ -1914,6 +1914,24 @@ def q_events_value_bands(sf_dir):
     return agg[["band_id", "n_events", "total_cents"]]
 
 
+def q_doc_sample_quantiles(sf_dir):
+    """One-pass approximate n_chars quantiles from a deterministic
+    bottom-k hash sample (sketches.bottom_k_sample): order- and
+    partition-invariant, fixed-k exchange. Rows-only by design
+    (approximate — rank error ~1.6/sqrt(k); exactness lives in
+    rel_price_quantiles); determinism pinned by pytest."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import approx_quantiles_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return approx_quantiles_sample(
+        ds, "doc_id", "n_chars", [0.1, 0.5, 0.9], k=512
+    )
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2051,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_grouped_quantiles": q_rel_grouped_quantiles,
         "rel_top_orders_per_status": q_rel_top_orders_per_status,
         "events_value_bands": q_events_value_bands,
+        "doc_sample_quantiles": q_doc_sample_quantiles,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,

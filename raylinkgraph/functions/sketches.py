@@ -109,3 +109,61 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> float:
         np.float64
     )
     return hll_estimate(regs, p)
+
+
+def bottom_k_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    k: int,
+    *,
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic uniform sample of k rows: keep the k smallest
+    splitmix64(id) hashes. Order- and partition-INVARIANT (a pure
+    function of the id set — no RNG, no reservoir order dependence) and
+    mergeable: each batch pre-trims to its local bottom-k, the driver
+    folds the <= k * n_blocks survivors. One streaming pass, fixed-k
+    exchange regardless of input size."""
+    from raylinkgraph.functions.hashing import splitmix64
+
+    cols = columns or [c for c in ds.schema().names if c != id_col]
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(b[id_col].to_numpy(np.int64)).astype(np.uint64)
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+            b = b.iloc[keep]
+            h = h[keep]
+        out = b[[id_col] + cols].copy()
+        out["__h"] = h
+        return out
+
+    got = ds.map_batches(trim, batch_format="pandas").to_pandas()
+    got = got.nsmallest(k, "__h", keep="all").sort_values("__h").head(k)
+    return got.drop(columns="__h").reset_index(drop=True)
+
+
+def approx_quantiles_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    val_col: str,
+    qs: list[float],
+    *,
+    k: int = 4096,
+) -> pd.DataFrame:
+    """One-pass approximate quantiles from a bottom-k uniform sample ->
+    (q_e6, value). Rank error is O(1/sqrt(k)) with high probability
+    (~1.63/sqrt(k) at 99% per the DKW inequality); use
+    quantiles.exact_quantiles when exactness matters. Deterministic for
+    a given id set, so repeated runs agree bit-for-bit."""
+    sample = bottom_k_sample(ds, id_col, k, columns=[val_col])
+    v = np.sort(sample[val_col].to_numpy(np.float64))
+    n = len(v)
+    q = np.asarray(qs, np.float64)
+    idx = np.maximum(0, np.ceil(q * n).astype(np.int64) - 1)
+    return pd.DataFrame(
+        {
+            "q_e6": np.floor(q * 1e6 + 0.5).astype(np.int64),
+            "value": v[np.minimum(idx, n - 1)] if n else np.full(len(q), np.nan),
+        }
+    )

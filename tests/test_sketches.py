@@ -2,6 +2,7 @@
 the estimator must hit its published error bound across regimes."""
 
 import numpy as np
+import pandas as pd
 
 from raylinkgraph.functions.hashing import splitmix64
 from raylinkgraph.functions.sketches import hll_estimate
@@ -50,3 +51,38 @@ def test_estimator_error_bound():
         est = hll_estimate(regs, p)
         # sigma ~ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
         assert abs(est - true_n) / true_n < 0.065, (true_n, est)
+
+
+def test_bottom_k_sample_matches_bruteforce_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import splitmix64
+    from raylinkgraph.functions.sketches import bottom_k_sample
+
+    ids = np.arange(10_000, dtype=np.int64) * 17 + 3
+    df = pd.DataFrame({"doc_id": ids, "v": ids.astype(np.float64) % 97})
+    h = splitmix64(ids)
+    want = ids[np.argsort(h)][:64]
+    for blocks in (1, 13):
+        ds = rd.from_pandas(df).repartition(blocks)
+        got = bottom_k_sample(ds, "doc_id", 64)
+        assert got["doc_id"].tolist() == sorted(
+            want, key=lambda i: h[np.where(ids == i)[0][0]]
+        )
+
+
+def test_approx_quantiles_sample_error_bound(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import approx_quantiles_sample
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, 200_000)
+    df = pd.DataFrame({"doc_id": np.arange(len(x), dtype=np.int64), "v": x})
+    out = approx_quantiles_sample(
+        rd.from_pandas(df), "doc_id", "v", [0.1, 0.5, 0.9], k=4096
+    )
+    xs = np.sort(x)
+    for q, v in zip([0.1, 0.5, 0.9], out["value"]):
+        true_rank = np.searchsorted(xs, v) / len(xs)
+        assert abs(true_rank - q) < 3 * 1.63 / np.sqrt(4096), (q, true_rank)
