@@ -1932,6 +1932,24 @@ def q_doc_sample_quantiles(sf_dir):
     )
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_doc_lang_pivot(sf_dir):
+    """Crosstab source x lang -> (source, n_de..n_zh): per-batch pandas
+    crosstab partials, one hash(source) shuffle, vectorized bucket sum
+    (functions/textops.pivot_counts)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import pivot_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+    out = pivot_counts(ds, "source", "lang", _PIVOT_LANGS).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2070,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders_per_status": q_rel_top_orders_per_status,
         "events_value_bands": q_events_value_bands,
         "doc_sample_quantiles": q_doc_sample_quantiles,
+        "doc_lang_pivot": q_doc_lang_pivot,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3878,6 +3897,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "doc_lang_pivot": (
+            "SELECT source, SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en, SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es, SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr, SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         "events_value_bands": (
             "SELECT b.i::BIGINT AS band_id, COUNT(*) AS n_events, "
             "CAST(FLOOR(SUM(e.value) * 100 + 0.5) AS BIGINT) AS total_cents "

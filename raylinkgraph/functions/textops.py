@@ -403,3 +403,55 @@ def lang_distribution(docs: rd.Dataset) -> rd.Dataset:
         .groupby("lang")
         .aggregate(Sum("partial", alias_name="n"))
     )
+
+
+def pivot_counts(
+    docs: rd.Dataset,
+    row_col: str,
+    col_col: str,
+    col_values: list[str],
+    *,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """Crosstab: one output row per ``row_col`` value with a count
+    column ``n_<v>`` per pinned ``col_values`` entry (an explicit,
+    stable schema — unseen column values are ignored by design; pass
+    them in to count them).
+
+    Per-batch partials pivot immediately (pandas crosstab -> at most
+    one row per row-key per batch), then ONE hash(row key) shuffle and
+    a vectorized per-bucket sum — never a groupby over the raw
+    (row, col) pair key.
+    """
+    from raylinkgraph.functions.hashing import crc32_str, partition_of
+
+    ncols = [f"n_{v}" for v in col_values]
+
+    def _part(keys: np.ndarray) -> np.ndarray:
+        if np.issubdtype(keys.dtype, np.integer):
+            return partition_of(keys.astype(np.int64), buckets)
+        return (crc32_str(keys) % np.uint32(buckets)).astype(np.int32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b[row_col], b[col_col])
+        out = pd.DataFrame({row_col: ct.index.to_numpy()})
+        for v, nc in zip(col_values, ncols):
+            out[nc] = (
+                ct[v].to_numpy(np.int64) if v in ct.columns
+                else np.zeros(len(ct), np.int64)
+            )
+        out["__p"] = _part(out[row_col].to_numpy())
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(row_col, sort=True)[ncols].sum().reset_index()
+        for nc in ncols:
+            agg[nc] = agg[nc].astype(np.int64)
+        return agg
+
+    return (
+        docs.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )
