@@ -78,6 +78,12 @@ def _rank_e6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5).astype(np.int64)
 
 
+def _pair_hash64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from raylinkgraph.functions.hashing import pair_hash
+
+    return pair_hash(a, b).astype(np.int64)
+
+
 def q_graph_edges(sf_dir):
     from raylinkgraph.pipelines.tpch_graph import get_graph
 
@@ -946,8 +952,24 @@ def q_graph_edge_cover(sf_dir):
         .map_groups(
             lambda gr: fold(gr.drop(columns="__b")), batch_format="pandas"
         )
-        .groupby(["a", "b"])
-        .map_groups(lambda gr: gr.head(1), batch_format="pandas")
+        # dedup the pair two buckets can both emit: hash(a,b)-bucketed
+        # drop_duplicates, not groupby((a,b)) over O(V) keys
+        .map_batches(
+            lambda b: b.assign(
+                __q=partition_of(
+                    _pair_hash64(
+                        b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)
+                    ),
+                    B,
+                )
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__q")
+        .map_groups(
+            lambda gr: gr.drop_duplicates(["a", "b"]).drop(columns="__q"),
+            batch_format="pandas",
+        )
     )
     out = pairs.to_pandas().astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -1285,17 +1307,34 @@ def q_rel_top_parts(sf_dir):
     limit over the cp edge table (deterministic tie-break on part id)."""
     from raylinkgraph.pipelines.tpch_graph import get_graph
 
+    from raylinkgraph.functions.hashing import partition_of
+
     g = get_graph(sf_dir, "cp")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch count partials + hash(dst) bucket — part cardinality
+        # is unbounded, so no raw groupby(dst_id) (per-group dispatch)
+        u, c = np.unique(b["dst_id"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame(
+            {"dst_id": u, "n": c.astype(np.int64), "__p": partition_of(u, 32)}
+        )
+
+    def fold_topk(gr: pd.DataFrame) -> pd.DataFrame:
+        agg = gr.groupby("dst_id", sort=True)["n"].sum()
+        u = agg.index.to_numpy(np.int64)
+        c = agg.to_numpy(np.int64)
+        order = np.lexsort((u, -c))[:20]
+        return pd.DataFrame({"dst_id": u[order], "n_customers": c[order]})
+
     out = (
         g.edges_ds()
-        .groupby("dst_id")
-        .count()
-        .sort(["count()", "dst_id"], descending=[True, False])
-        .limit(20)  # distributed sort + limit; only 20 rows reach the driver
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold_topk, batch_format="pandas")
+        .sort(["n_customers", "dst_id"], descending=[True, False])
+        .limit(20)  # only B*20 rows reach the sort, 20 the driver
         .to_pandas()
-        .rename(columns={"count()": "n_customers"})
     )
-    out["n_customers"] = out["n_customers"].astype(np.int64)
     return out[["dst_id", "n_customers"]].reset_index(drop=True)
 
 
@@ -1509,16 +1548,30 @@ def q_events_sessions(sf_dir):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
+    from raylinkgraph.functions.hashing import partition_of
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = partition_of(b["user_id"].to_numpy(np.int64), 32)
+        return b
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff()
-        starts = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum()
+        # bucketed: all of a user's rows are contiguous after one sort;
+        # a session starts at each user change or >30 min gap, so the
+        # per-user session count is one bincount — no per-user dispatch
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        users = g["user_id"].to_numpy(np.int64)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        starts = new_user | gap.to_numpy()
+        uu, inv = np.unique(users, return_inverse=True)
         return pd.DataFrame(
-            {"user_id": [np.int64(g["user_id"].iloc[0])], "n_sessions": [np.int64(starts)]}
+            {"user_id": uu, "n_sessions": np.bincount(inv, weights=starts).astype(np.int64)}
         )
 
     return (
-        ev.groupby("user_id")
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")

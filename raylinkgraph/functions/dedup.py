@@ -45,22 +45,28 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     SQL parity: SELECT min(doc_id) AS doc_id FROM docs GROUP BY text.
     """
 
+    from raylinkgraph.functions.hashing import partition_of
+
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "t": batch[text_col],
-                "h": _text_hash(batch[text_col]),
-            }
+        # per-batch pre-combine: one (hash, text) survivor per batch
+        h = _text_hash(batch[text_col])
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"], "t": batch[text_col], "h": h}
         )
+        out = out.loc[out.groupby(["h", "t"], sort=False)["doc_id"].idxmin()]
+        out["__p"] = partition_of(out["h"].to_numpy(np.int64), 64)
+        return out
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        kept = g.groupby("t", sort=False)["doc_id"].min()
+        # hash(h)-bucketed, NOT groupby(h) — distinct-text cardinality is
+        # unbounded and Ray's groupby dispatches Python-per-group; the
+        # per-bucket (h, t) groupby is vectorized pandas
+        kept = g.groupby(["h", "t"], sort=False)["doc_id"].min()
         return pd.DataFrame({"doc_id": np.sort(kept.to_numpy(np.int64))})
 
     return (
         docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
+        .groupby("__p")
         .map_groups(keep_first, batch_format="pandas")
     )
 
@@ -271,14 +277,53 @@ def minhash_lsh_pairs(
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
 
-    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # hash the unbounded (band, band_hash) key down to fixed partitions
+    # (Ray groupby dispatches Python-per-group — any_key_partition doc);
+    # inside a partition, LSH buckets iterate as pandas sub-groups
+    from raylinkgraph.functions.hashing import pair_hash, partition_of
+
+    def tag_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = partition_of(
+            pair_hash(
+                b["band"].to_numpy(np.int64), b["band_hash"].to_numpy(np.int64)
+            ).astype(np.int64),
+            64,
+        )
+        return b
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            bucket_pairs(sub)
+            for _, sub in g.groupby(["band", "band_hash"], sort=False)
+        ]
+        out = pd.concat(parts, ignore_index=True) if parts else bucket_pairs(g.iloc[0:0])
+        return out
+
+    pairs = (
+        sig_ds.map_batches(tag_part, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
+    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__q"] = partition_of(
+            pair_hash(b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)).astype(
+                np.int64
+            ),
+            64,
+        )
+        return b
 
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns="__q")
+
+    return (
+        pairs.map_batches(tag_pair, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -406,17 +451,54 @@ def simhash_pairs(
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
 
+    # (chunk, key) has up to 4 * 2^16 distinct values — hash it down to
+    # fixed partitions (Ray groupby dispatches Python-per-group) and walk
+    # the buckets as pandas sub-groups inside each partition
+    from raylinkgraph.functions.hashing import pair_hash, partition_of
+
+    def tag_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = partition_of(
+            pair_hash(
+                b["chunk"].to_numpy(np.int32).astype(np.int64),
+                b["key"].to_numpy(np.int64),
+            ).astype(np.int64),
+            64,
+        )
+        return b
+
+    def partition_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            bucket(sub) for _, sub in g.groupby(["chunk", "key"], sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else bucket(g.iloc[0:0])
+
     pairs = (
         sig.map_batches(explode, batch_format="pandas")
-        .groupby(["chunk", "key"])
-        .map_groups(bucket, batch_format="pandas")
+        .map_batches(tag_part, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(partition_buckets, batch_format="pandas")
     )
 
+    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__q"] = partition_of(
+            pair_hash(b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)).astype(
+                np.int64
+            ),
+            64,
+        )
+        return b
+
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["a", "b"])
+        g = g.drop_duplicates(["a", "b"]).drop(columns="__q")
         return g[g["hamming"] <= max_hamming]
 
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    return (
+        pairs.map_batches(tag_pair, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -434,14 +516,27 @@ def ngram_jaccard_pairs(
         b["side"] = out
         return b
 
-    # attach text of a then b via groupby joins on doc_id
+    # attach text of a then b via hash(doc_id)-BUCKETED joins — join_key
+    # cardinality is the corpus size, so a raw groupby(join_key) would hit
+    # Ray's per-group dispatch; per bucket the lookup is one dict build +
+    # one vectorized map
+    from raylinkgraph.functions.hashing import partition_of
+
     def join_side(pairs_ds, col, text_name):
-        tagged_pairs = pairs_ds.map_batches(
-            lambda b: tag(b, col, 0), batch_format="pandas"
-        )
+        def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+            b = tag(b, col, 0)
+            b["__p"] = partition_of(b["join_key"].to_numpy(np.int64), 64)
+            return b
+
+        tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
         tagged_text = texts.map_batches(
             lambda b: pd.DataFrame(
-                {"join_key": b["doc_id"], "side": 1, "text": b["text"]}
+                {
+                    "join_key": b["doc_id"],
+                    "side": 1,
+                    "text": b["text"],
+                    "__p": partition_of(b["doc_id"].to_numpy(np.int64), 64),
+                }
             ),
             batch_format="pandas",
         )
@@ -450,15 +545,15 @@ def ngram_jaccard_pairs(
             t = g[g["side"] == 1]
             p = g[g["side"] == 0]
             if len(p) == 0 or len(t) == 0:
-                return p.drop(columns=["join_key", "side", "text"], errors="ignore").assign(
-                    **{text_name: pd.Series([], dtype=object)}
-                ).iloc[0:0]
+                return p.drop(
+                    columns=["join_key", "side", "text", "__p"], errors="ignore"
+                ).assign(**{text_name: pd.Series([], dtype=object)}).iloc[0:0]
             lut = dict(zip(t["join_key"], t["text"]))
-            out = p.drop(columns=["side", "text"], errors="ignore").copy()
+            out = p.drop(columns=["side", "text", "__p"], errors="ignore").copy()
             out[text_name] = out["join_key"].map(lut)
             return out.drop(columns=["join_key"])
 
-        return tagged_pairs.union(tagged_text).groupby("join_key").map_groups(
+        return tagged_pairs.union(tagged_text).groupby("__p").map_groups(
             merge, batch_format="pandas"
         )
 

@@ -43,3 +43,18 @@ def crc32_str(values) -> np.ndarray:
     for i, v in enumerate(values):
         out[i] = zlib.crc32(v.encode("utf-8"))
     return out
+
+
+def any_key_partition(vals: np.ndarray, buckets: int) -> np.ndarray:
+    """partition_of for int64 keys, crc32 for string keys -> int32.
+
+    The shared bucketing for the pre-hash-then-groupby idiom: Ray Data's
+    groupby dispatches Python-per-group in both aggregate() (~2.2 ms/key
+    measured at 100k keys) and map_groups() (~0.2 ms/key), so EVERY
+    group-shuffle over an unbounded key must hash down to a fixed bucket
+    count and do the per-key work vectorized inside the bucket.
+    """
+    vals = np.asarray(vals)
+    if np.issubdtype(vals.dtype, np.integer):
+        return partition_of(vals.astype(np.int64), buckets)
+    return (crc32_str(vals) % np.uint32(buckets)).astype(np.int32)

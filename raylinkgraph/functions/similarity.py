@@ -321,15 +321,30 @@ def cosine_dup_pairs_lsh(
         i, j = np.triu_indices(n, 1)
         return pd.DataFrame({"a": v[i], "b": v[j]})
 
+    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+        # dedup via hash(a,b)-bucketed drop_duplicates, not a groupby
+        # over the unbounded pair key (Ray per-group dispatch)
+        from raylinkgraph.functions.hashing import pair_hash, partition_of
+
+        b = b.copy()
+        b["__q"] = partition_of(
+            pair_hash(b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)).astype(
+                np.int64
+            ),
+            32,
+        )
+        return b
+
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g[["a", "b"]].drop_duplicates()
 
     cands = (
         embeddings.map_batches(Sig, batch_format="pyarrow",
                                concurrency=concurrency, num_cpus=1)
-        .groupby(["band", "sig"])
+        .groupby(["band", "sig"])  # bounded: n_bands * 2^band_bits keys
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
+        .map_batches(tag_pair, batch_format="pandas")
+        .groupby("__q")
         .map_groups(dedup, batch_format="pandas")
     )
 

@@ -97,10 +97,20 @@ def hll_estimate(registers: np.ndarray, p: int = 12) -> float:
 def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): partial registers -> groupby-max
     -> estimate. Deterministic; standard error ~= 1.04 / sqrt(2^p)."""
+    def fold_max(g: pd.DataFrame) -> pd.DataFrame:
+        # 8 fixed partitions, vectorized max per partition — not
+        # groupby(register).max over 2^p keys (per-group dispatch)
+        agg = g.groupby("register", as_index=False, sort=True)["rank"].max()
+        return agg.rename(columns={"rank": "max(rank)"})
+
     merged = (
         hll_partials(ds, col, p=p)
-        .groupby("register")
-        .max("rank")
+        .map_batches(
+            lambda b: b.assign(__p=(b["register"].to_numpy(np.int64) & 7).astype(np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("__p")
+        .map_groups(fold_max, batch_format="pandas")
         .to_pandas()
     )
     m = 1 << p

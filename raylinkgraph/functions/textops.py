@@ -14,6 +14,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from raylinkgraph.functions.hashing import any_key_partition
+
 _TOKEN_RE = r"\S+"
 _WORD_RE = re.compile(r"[a-zA-Z]+")
 
@@ -135,15 +137,19 @@ def top_ngrams(
 
     The combiner pattern for wide aggregations: each batch emits its
     LOCAL n-gram counts (np.unique over elementwise-concatenated shifted
-    token arrays), so the groupby-sum shuffle moves one row per distinct
-    n-gram per batch instead of one per occurrence; ties at the top-k
-    cutoff break on the n-gram string, making the result total-ordered
-    and oracle-exact."""
+    token arrays), so the shuffle moves one row per distinct n-gram per
+    batch instead of one per occurrence. The merge is a HASH-BUCKETED
+    fold, never groupby(ngram).aggregate — Ray's groupby dispatches
+    Python-per-group (hashing.any_key_partition docstring), which at a
+    real corpus vocabulary would dominate the whole job; each bucket
+    sums vectorized and keeps its local top-k (an n-gram lives in
+    exactly one bucket), and only B*k survivors reach the final tiny
+    sort. Ties at the cutoff break on the n-gram string, making the
+    result total-ordered and oracle-exact."""
     from functools import reduce
 
-    from ray.data.aggregate import Sum
-
     pat = re.compile(_TOKEN_RE)
+    buckets = 32
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         grams: list[np.ndarray] = []
@@ -156,15 +162,26 @@ def top_ngrams(
         if not grams:
             return pd.DataFrame(
                 {"ngram": pd.Series([], dtype=object),
-                 "n": pd.Series([], dtype=np.int64)}
+                 "n": pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
             )
         u, c = np.unique(np.concatenate(grams), return_counts=True)
-        return pd.DataFrame({"ngram": u, "n": c.astype(np.int64)})
+        return pd.DataFrame(
+            {"ngram": u, "n": c.astype(np.int64),
+             "__p": any_key_partition(u, buckets)}
+        )
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("ngram", sort=True)["n"].sum()
+        u = agg.index.to_numpy()
+        c = agg.to_numpy(np.int64)
+        order = np.lexsort((u, -c))[:k]
+        return pd.DataFrame({"ngram": u[order], "n": c[order]})
 
     return (
         docs.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-        .groupby("ngram")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("__p")
+        .map_groups(fold_topk, batch_format="pandas")
         .sort(["n", "ngram"], descending=[True, False])
         .limit(k)
     )
@@ -203,17 +220,25 @@ def top_terms(
         if not terms:
             return pd.DataFrame(
                 {"term": pd.Series([], dtype=object),
-                 "df": pd.Series([], dtype=np.int64)}
+                 "df": pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
             )
         u, c = np.unique(np.concatenate(terms), return_counts=True)
-        return pd.DataFrame({"term": u, "df": c.astype(np.int64)})
+        return pd.DataFrame(
+            {"term": u, "df": c.astype(np.int64),
+             "__p": any_key_partition(u, 32)}
+        )
 
-    from ray.data.aggregate import Sum
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed fold, not groupby(term).aggregate (per-group dispatch)
+        agg = g.groupby("term", sort=True)["df"].sum().reset_index()
+        agg["df"] = agg["df"].astype(np.int64)
+        return agg
 
     df_tab = (
         docs.map_batches(df_partial, batch_format="pandas", batch_size=batch_size)
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+        .groupby("__p")
+        .map_groups(df_fold, batch_format="pandas")
         .to_pandas()
         .sort_values("term")
     )

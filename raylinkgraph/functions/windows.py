@@ -26,8 +26,12 @@ def tumbling_counts(
 ) -> rd.Dataset:
     """(event_type, window_start_epoch, n, sum_value) per tumbling window.
 
-    Partial per-batch aggregates shuffle only O(#types x #windows) rows.
+    Partial per-batch aggregates shuffle only O(#types x #windows) rows,
+    merged by a hash(window)-bucketed vectorized fold — the number of
+    windows grows with the time range, so a raw groupby([type, w])
+    would hit Ray's per-group dispatch (hashing.any_key_partition).
     """
+    from raylinkgraph.functions.hashing import partition_of
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # unit-independent window id (datetime64 columns arrive as [us]
@@ -38,14 +42,22 @@ def tumbling_counts(
         ).astype(np.int64)
         g = batch.assign(w=w).groupby([type_col, "w"], sort=True)
         out = g.agg(n=(value_col, "size"), sv=(value_col, "sum")).reset_index()
+        out["__p"] = partition_of(out["w"].to_numpy(np.int64), 32)
         return out
 
-    from ray.data.aggregate import Sum
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([type_col, "w"], sort=True)
+            .agg(n=("n", "sum"), sum_value=("sv", "sum"))
+            .reset_index()
+        )
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
 
     return (
         events.map_batches(partial, batch_format="pandas")
-        .groupby([type_col, "w"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sum_value"))
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
@@ -54,20 +66,30 @@ def asof_previous_event(
     ts_col: str = "ts", id_col: str = "event_id",
 ) -> rd.Dataset:
     """For every event, the same key's immediately-previous event id
-    (-1 for the first) — the as-of self-join, one shuffle on the key,
-    per-group sort by (ts, id)."""
+    (-1 for the first) — the as-of self-join. ONE hash(key)-bucketed
+    shuffle; inside a bucket every key's rows are contiguous after one
+    (key, ts, id) sort, so the previous-id is a single vectorized shift
+    with run starts masked to -1 (never a per-key Python dispatch)."""
+    from raylinkgraph.functions.hashing import partition_of
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = partition_of(b[key_col].to_numpy(np.int64), 32)
+        return b
 
     def prev(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        prev_ids = np.r_[-1, g[id_col].to_numpy(np.int64)[:-1]]
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].to_numpy(np.int64),
-                "prev_event_id": prev_ids,
-            }
-        )
+        g = g.sort_values([key_col, ts_col, id_col])
+        ids = g[id_col].to_numpy(np.int64)
+        keys = g[key_col].to_numpy(np.int64)
+        prev_ids = np.r_[-1, ids[:-1]]
+        prev_ids[np.r_[True, keys[1:] != keys[:-1]]] = -1
+        return pd.DataFrame({id_col: ids, "prev_event_id": prev_ids})
 
-    return events.groupby(key_col).map_groups(prev, batch_format="pandas")
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(prev, batch_format="pandas")
+    )
 
 
 def interval_join(
