@@ -2003,6 +2003,46 @@ def q_doc_lang_pivot(sf_dir):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_events_distinct_users(sf_dir):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch
+    (type, user) dedup partials bucket on hash(user) — a pair lives in
+    exactly one bucket, so per-bucket distinct counts sum exactly; the
+    final groupby is over the BOUNDED type key. (The HLL sketch covers
+    the approximate path; this is the exact one.)"""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raylinkgraph.functions.hashing import partition_of
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(["event_type", "user_id"]).copy()
+        d["__p"] = partition_of(d["user_id"].to_numpy(np.int64), 32)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        c = d.groupby("event_type", sort=True).size().reset_index(name="c")
+        c["c"] = c["c"].astype(np.int64)
+        return c
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2142,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": q_events_value_bands,
         "doc_sample_quantiles": q_doc_sample_quantiles,
         "doc_lang_pivot": q_doc_lang_pivot,
+        "events_distinct_users": q_events_distinct_users,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3950,6 +3991,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "events_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "doc_lang_pivot": (
             "SELECT source, SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en, SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es, SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr, SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh "
             "FROM documents GROUP BY source ORDER BY source"
