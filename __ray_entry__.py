@@ -2043,6 +2043,21 @@ def q_events_distinct_users(sf_dir):
     return out
 
 
+def q_events_user_mode(sf_dir):
+    """Most frequent event_type per user (ties -> lexicographically
+    smallest type): functions/topk.grouped_mode — per-batch count
+    partials, one hash(user) shuffle, vectorized per-bucket argmax."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.topk import grouped_mode
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    out = grouped_mode(ev, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2183,6 +2198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_quantiles": q_doc_sample_quantiles,
         "doc_lang_pivot": q_doc_lang_pivot,
         "events_distinct_users": q_events_distinct_users,
+        "events_user_mode": q_events_user_mode,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -3991,6 +4007,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "events_user_mode": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, COUNT(*) AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
         "events_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"

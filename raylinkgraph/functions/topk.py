@@ -73,3 +73,47 @@ def grouped_top_k(
             lambda g: pick(g[cols], with_rank=True), batch_format="pandas"
         )
     )
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    *,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """Most frequent value per key -> (key, value, n); ties break on the
+    smallest value, so the result is deterministic and oracle-exact
+    against ROW_NUMBER() OVER (... ORDER BY n DESC, value) = 1.
+
+    Per-batch (key, value, count) partials bucket on hash(key) — every
+    row of a key lands in one bucket, so the per-bucket argmax is
+    global; the fold is one vectorized pandas groupby + lexsort.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            b.groupby([key_col, val_col], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        c["__p"] = _key_partition(c[key_col].to_numpy(), buckets)
+        return c
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([key_col, val_col], sort=True)["n"].sum().reset_index()
+        top = (
+            agg.sort_values([key_col, "n", val_col],
+                            ascending=[True, False, True], kind="stable")
+            .drop_duplicates(key_col, keep="first")
+            .copy()
+        )
+        top["n"] = top["n"].astype(np.int64)
+        return top
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )

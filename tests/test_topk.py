@@ -61,3 +61,21 @@ def test_string_order_desc(ray_session):
 def test_small_groups_keep_all(ray_session):
     df = _frame(n=6)  # groups smaller than k
     _check(df, "val", 10, True)
+
+
+def test_grouped_mode_ties_and_strings(ray_session):
+    from raylinkgraph.functions.topk import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "v": ["y", "x", "x", "y", "z", "z"],  # a: tie x/y -> x wins
+        }
+    )
+    out = (
+        grouped_mode(rd.from_pandas(df), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [["a", "x", 2], ["b", "z", 2]]
