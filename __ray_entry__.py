@@ -2058,6 +2058,23 @@ def q_events_user_mode(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_sliding_counts(sf_dir):
+    """Per-event trailing 10-minute same-user event count (SQL RANGE
+    frame semantics — ties in ts all count):
+    functions/windows.sliding_window_count, one hash(user) shuffle +
+    vectorized searchsorted per key run."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import sliding_window_count
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    out = sliding_window_count(ev, window_sec=600).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2199,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_pivot": q_doc_lang_pivot,
         "events_distinct_users": q_events_distinct_users,
         "events_user_mode": q_events_user_mode,
+        "events_sliding_counts": q_events_sliding_counts,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -4007,6 +4025,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "events_sliding_counts": (
+            "SELECT event_id, CAST(COUNT(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '600 seconds' PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) AS w_count "
+            "FROM events ORDER BY event_id"
+        ),
         "events_user_mode": (
             "SELECT user_id, event_type, n FROM ("
             "SELECT user_id, event_type, COUNT(*) AS n, "
