@@ -2075,6 +2075,19 @@ def q_events_sliding_counts(sf_dir):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_graph_ktruss(sf_dir):
+    """4-truss of the pp co-order graph (algos/ktruss.py): iterative
+    per-edge triangle-support peel, every shuffle hash-bucketed.
+    Rows-only by design (iterative fixpoint — no practical SQL unroll);
+    pinned against networkx.k_truss in tests/test_ktruss.py."""
+    from raylinkgraph.algos.ktruss import k_truss
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    out = k_truss(g.edges_ds(), 4)
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2217,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_user_mode": q_events_user_mode,
         "events_sliding_counts": q_events_sliding_counts,
+        "graph_ktruss": q_graph_ktruss,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
