@@ -2088,6 +2088,62 @@ def q_graph_ktruss(sf_dir):
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+WALK_LEN = 4
+
+
+def q_graph_walks(sf_dir):
+    """Deterministic pseudo-random walk corpus on the symmetric pp
+    co-order graph (algos/walks.py): one walk per vertex, 4 hops, the
+    congruential neighbor selector replayed exactly by the SQL oracle
+    (ROW_NUMBER over the id-sorted adjacency + the same modulus)."""
+    import ray.data as rd
+
+    from raylinkgraph.algos.walks import random_walks
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    ed = g.edges_ds()
+    # symmetrize: a walk must be able to leave every vertex
+    sym = ed.union(
+        ed.map_batches(
+            lambda b: pd.DataFrame(
+                {"src_id": b["dst_id"].to_numpy(np.int64),
+                 "dst_id": b["src_id"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    )
+    out = random_walks(sym, walk_len=WALK_LEN).to_pandas()
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _walks_sql(walk_len: int) -> str:
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PP_EDGES})",
+        "e AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+        "UNION SELECT v, u FROM pedges)",
+        "adj AS MATERIALIZED (SELECT s, d, "
+        "ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY s) AS deg FROM e)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT s AS walk_id, s AS vertex FROM e)",
+    ]
+    for i in range(1, walk_len + 1):
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT w.walk_id, a.d AS vertex "
+            f"FROM w{i-1} w JOIN adj a ON a.s = w.vertex "
+            f"AND a.rn = ((w.walk_id % 97) * 131 + {i} * 31 "
+            f"+ w.vertex % 1000003) % a.deg)"
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT walk_id, {i}::BIGINT AS step, vertex FROM w{i}"
+        for i in range(walk_len + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + arms + " ORDER BY walk_id, step"
+    )
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2231,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": q_events_user_mode,
         "events_sliding_counts": q_events_sliding_counts,
         "graph_ktruss": q_graph_ktruss,
+        "graph_walks": q_graph_walks,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -4039,6 +4096,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "graph_walks": _walks_sql(WALK_LEN),
         "events_sliding_counts": (
             "SELECT event_id, CAST(COUNT(*) OVER ("
             "PARTITION BY user_id ORDER BY ts "
