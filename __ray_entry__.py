@@ -2144,6 +2144,104 @@ def _walks_sql(walk_len: int) -> str:
     )
 
 
+def _skipgram_sql(walk_len: int, win: int) -> str:
+    walks = _walks_sql(walk_len)
+    # strip the trailing ORDER BY; wrap as a CTE and self-join
+    walks = walks[: walks.rindex(" ORDER BY ")]
+    return (
+        f"WITH walks AS MATERIALIZED ({walks}) "
+        f"SELECT a.vertex AS center, b.vertex AS context, "
+        f"COUNT(*) AS n FROM walks a JOIN walks b "
+        f"ON a.walk_id = b.walk_id "
+        f"AND ABS(a.step - b.step) BETWEEN 1 AND {win} "
+        f"GROUP BY center, context ORDER BY center, context"
+    )
+
+
+SKIPGRAM_WIN = 2
+
+
+def q_graph_skipgram_pairs(sf_dir):
+    """Skip-gram training pairs from the walk corpus: for every walk,
+    (center, context) for 1 <= |step_c - step_x| <= window — the
+    DeepWalk sampling step. Walks re-generate deterministically
+    (graph_walks), pairs expand per walk inside one hash(walk_id)
+    bucket (each walk is tiny; the corpus is huge — classic
+    data-parallel expansion), aggregated to (center, context, n)."""
+    from raylinkgraph.algos.walks import random_walks
+    from raylinkgraph.functions.hashing import partition_of
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    ed = g.edges_ds()
+    sym = ed.union(
+        ed.map_batches(
+            lambda b: pd.DataFrame(
+                {"src_id": b["dst_id"].to_numpy(np.int64),
+                 "dst_id": b["src_id"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    )
+    walks = random_walks(sym, walk_len=WALK_LEN)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = partition_of(b["walk_id"].to_numpy(np.int64), 32)
+        return b
+
+    def pairs(g2: pd.DataFrame) -> pd.DataFrame:
+        g2 = g2.sort_values(["walk_id", "step"])
+        w = g2["walk_id"].to_numpy(np.int64)
+        s = g2["step"].to_numpy(np.int64)
+        v = g2["vertex"].to_numpy(np.int64)
+        outs = []
+        for off in range(1, SKIPGRAM_WIN + 1):
+            same = (w[off:] == w[:-off]) & (s[off:] == s[:-off] + off)
+            a, b2 = v[:-off][same], v[off:][same]
+            # both directions (context before and after the center)
+            outs.append(np.stack([a, b2], 1))
+            outs.append(np.stack([b2, a], 1))
+        if not outs:
+            return pd.DataFrame({"center": pd.Series([], dtype=np.int64),
+                                 "context": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cc = np.concatenate(outs)
+        enc = (cc[:, 0] << np.int64(32)) | cc[:, 1]
+        u, c = np.unique(enc, return_counts=True)
+        return pd.DataFrame(
+            {"center": u >> np.int64(32),
+             "context": u & np.int64((1 << 32) - 1),
+             "n": c.astype(np.int64)}
+        )
+
+    out = (
+        walks.map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(
+                __q=partition_of(
+                    (b["center"].to_numpy(np.int64) << np.int64(32))
+                    | b["context"].to_numpy(np.int64),
+                    32,
+                )
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__q")
+        .map_groups(
+            lambda g3: g3.groupby(["center", "context"], sort=True)["n"]
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["center", "context"]).reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2288,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": q_events_sliding_counts,
         "graph_ktruss": q_graph_ktruss,
         "graph_walks": q_graph_walks,
+        "graph_skipgram_pairs": q_graph_skipgram_pairs,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -4097,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
         "graph_walks": _walks_sql(WALK_LEN),
+        "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (
             "SELECT event_id, CAST(COUNT(*) OVER ("
             "PARTITION BY user_id ORDER BY ts "

@@ -50,7 +50,11 @@ def random_walks(
                              "w": np.int64(-1), "st": np.int8(-1),
                              "__p": partition_of(s, _B)})
 
-    edges_tagged = edges.map_batches(bucket_edges, batch_format="pandas")
+    # consumed once per hop: pin the bucketed edge blocks or the whole
+    # upstream edge pipeline re-executes walk_len times
+    edges_tagged = edges.map_batches(
+        bucket_edges, batch_format="pandas"
+    ).materialize()
 
     def start_partial(b: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(b[src_col].to_numpy(np.int64))
@@ -132,4 +136,8 @@ def random_walks(
     ds = out_frames[0]
     for f in out_frames[1:]:
         ds = ds.union(f)
-    return ds
+    # the hop union carries ~(walk_len+1) * buckets TINY blocks; every
+    # downstream pass would pay per-block task latency (measured: 480
+    # blocks -> 30+ s per map over a 10k-row corpus). Consolidate once —
+    # sub-second — before handing the corpus on.
+    return ds.repartition(_B)
