@@ -2242,6 +2242,24 @@ def q_graph_skipgram_pairs(sf_dir):
     return out.sort_values(["center", "context"]).reset_index(drop=True)
 
 
+def q_rel_price_pct_rank(sf_dir):
+    """PERCENT_RANK of each order's totalprice within its orderstatus
+    (functions/topk.grouped_percent_rank) — bit-exact float parity with
+    the SQL window (correctly-rounded IEEE division)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.topk import grouped_percent_rank
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_totalprice", "o_orderkey"],
+    )
+    out = grouped_percent_rank(
+        ds, "o_orderstatus", "o_totalprice", "o_orderkey"
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2387,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_walks": q_graph_walks,
         "graph_skipgram_pairs": q_graph_skipgram_pairs,
+        "rel_price_pct_rank": q_rel_price_pct_rank,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -4195,6 +4214,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "rel_price_pct_rank": (
+            "SELECT o_orderkey, PERCENT_RANK() OVER ("
+            "PARTITION BY o_orderstatus ORDER BY o_totalprice) "
+            "AS pct_rank FROM orders ORDER BY o_orderkey"
+        ),
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (

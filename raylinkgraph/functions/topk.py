@@ -117,3 +117,56 @@ def grouped_mode(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def grouped_percent_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    *,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """SQL PERCENT_RANK() OVER (PARTITION BY key ORDER BY val) per row
+    -> (id, pct_rank). rank is RANK() (ties share the smallest rank),
+    pct = (rank - 1) / (n - 1), 0.0 for single-row groups — and IEEE
+    division is correctly rounded, so engine and oracle doubles are
+    bit-identical.
+
+    ONE hash(key) shuffle; inside a bucket a (key, val) sort makes each
+    key a contiguous run and rank/n come from two vectorized
+    searchsorted-style scans — no per-key dispatch.
+    """
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__p"] = _key_partition(b[key_col].to_numpy(), buckets)
+        return b
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, val_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[val_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        sizes = ends - starts
+        # group-relative position
+        pos = np.arange(len(k)) - np.repeat(starts, sizes)
+        # RANK(): ties take the run's first position. A value run starts
+        # where val changes OR the key changes.
+        new_val = np.r_[True, (v[1:] != v[:-1]) | (k[1:] != k[:-1])]
+        run_start_pos = pos[np.flatnonzero(new_val)]
+        rank = run_start_pos[np.cumsum(new_val) - 1]
+        n = np.repeat(sizes, sizes).astype(np.float64)
+        denom = np.maximum(n - 1.0, 1.0)
+        pct = rank.astype(np.float64) / denom
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(np.int64), "pct_rank": pct}
+        )
+
+    return (
+        ds.select_columns([key_col, val_col, id_col])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(ranks, batch_format="pandas")
+    )

@@ -79,3 +79,30 @@ def test_grouped_mode_ties_and_strings(ray_session):
         .reset_index(drop=True)
     )
     assert out.values.tolist() == [["a", "x", 2], ["b", "z", 2]]
+
+
+def test_grouped_percent_rank_ties(ray_session):
+    import duckdb
+
+    from raylinkgraph.functions.topk import grouped_percent_rank
+
+    df = pd.DataFrame(
+        {
+            "k": np.int64([1, 1, 1, 1, 2, 2, 3]),
+            "v": np.float64([5.0, 5.0, 7.0, 1.0, 2.0, 2.0, 9.0]),
+            "id": np.arange(7, dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_percent_rank(rd.from_pandas(df), "k", "v", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT id, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) "
+        "AS pct_rank FROM t ORDER BY id"
+    ).fetchdf()
+    assert (got["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
