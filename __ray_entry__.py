@@ -2243,9 +2243,10 @@ def q_graph_skipgram_pairs(sf_dir):
 
 
 def q_rel_price_pct_rank(sf_dir):
-    """PERCENT_RANK of each order's totalprice within its orderstatus
-    (functions/topk.grouped_percent_rank) — bit-exact float parity with
-    the SQL window (correctly-rounded IEEE division)."""
+    """The per-row ranking windows — PERCENT_RANK, CUME_DIST, NTILE(4)
+    of each order's totalprice within its orderstatus — in ONE bucketed
+    pass (functions/topk.grouped_percent_rank), bit-exact float parity
+    with the SQL windows (correctly-rounded IEEE division)."""
     import ray.data as rd
 
     from raylinkgraph.functions.topk import grouped_percent_rank
@@ -4215,9 +4216,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
         "rel_price_pct_rank": (
-            "SELECT o_orderkey, PERCENT_RANK() OVER ("
-            "PARTITION BY o_orderstatus ORDER BY o_totalprice) "
-            "AS pct_rank FROM orders ORDER BY o_orderkey"
+            "SELECT o_orderkey, PERCENT_RANK() OVER w AS pct_rank, "
+            "CUME_DIST() OVER w AS cume_dist, "
+            "CAST(NTILE(4) OVER w2 AS BIGINT) AS tile FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice), "
+            "w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) "
+            "ORDER BY o_orderkey"
         ),
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),

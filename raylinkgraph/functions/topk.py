@@ -126,16 +126,20 @@ def grouped_percent_rank(
     id_col: str,
     *,
     buckets: int = 32,
+    ntile: int = 4,
 ) -> rd.Dataset:
-    """SQL PERCENT_RANK() OVER (PARTITION BY key ORDER BY val) per row
-    -> (id, pct_rank). rank is RANK() (ties share the smallest rank),
-    pct = (rank - 1) / (n - 1), 0.0 for single-row groups — and IEEE
-    division is correctly rounded, so engine and oracle doubles are
-    bit-identical.
+    """The per-row ranking windows in ONE pass: PERCENT_RANK(),
+    CUME_DIST() OVER (PARTITION BY key ORDER BY val), and
+    NTILE(ntile) OVER (PARTITION BY key ORDER BY val, id — total order)
+    -> (id, pct_rank, cume_dist, tile). RANK ties share the smallest
+    rank; pct = (rank - 1) / (n - 1) (0.0 for single-row groups); cume
+    = tie-run end / n; NTILE gives the first (n % t) tiles the extra
+    row (the SQL rule). The divisions are correctly-rounded IEEE, so
+    engine and oracle doubles are bit-identical.
 
     ONE hash(key) shuffle; inside a bucket a (key, val) sort makes each
-    key a contiguous run and rank/n come from two vectorized
-    searchsorted-style scans — no per-key dispatch.
+    key a contiguous run and all three columns come from vectorized
+    run-start/run-end scans — no per-key dispatch.
     """
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -144,7 +148,10 @@ def grouped_percent_rank(
         return b
 
     def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, val_col], kind="stable")
+        # id as the final sort key: pct/cume depend only on val runs,
+        # but NTILE assigns by ROW order — without a total order a tie
+        # straddling a tile boundary would be nondeterministic
+        g = g.sort_values([key_col, val_col, id_col], kind="stable")
         k = g[key_col].to_numpy()
         v = g[val_col].to_numpy()
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
@@ -155,13 +162,31 @@ def grouped_percent_rank(
         # RANK(): ties take the run's first position. A value run starts
         # where val changes OR the key changes.
         new_val = np.r_[True, (v[1:] != v[:-1]) | (k[1:] != k[:-1])]
+        run_id = np.cumsum(new_val) - 1
         run_start_pos = pos[np.flatnonzero(new_val)]
-        rank = run_start_pos[np.cumsum(new_val) - 1]
-        n = np.repeat(sizes, sizes).astype(np.float64)
-        denom = np.maximum(n - 1.0, 1.0)
+        rank = run_start_pos[run_id]
+        n = np.repeat(sizes, sizes)
+        denom = np.maximum(n.astype(np.float64) - 1.0, 1.0)
         pct = rank.astype(np.float64) / denom
+        # CUME_DIST(): (# rows with val <= current) / n = the tie run's
+        # END position / n
+        run_len = np.bincount(run_id)
+        run_end_pos = run_start_pos + run_len
+        cume = run_end_pos[run_id].astype(np.float64) / n.astype(np.float64)
+        # NTILE(t): first (n % t) tiles take ceil(n/t) rows (SQL rule)
+        t = np.int64(ntile)
+        q, r = n // t, n % t
+        big = r * (q + 1)
+        tile = np.where(
+            pos < big, pos // np.maximum(q + 1, 1), r + (pos - big) // np.maximum(q, 1)
+        ) + 1
         return pd.DataFrame(
-            {id_col: g[id_col].to_numpy(np.int64), "pct_rank": pct}
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "pct_rank": pct,
+                "cume_dist": cume,
+                "tile": tile.astype(np.int64),
+            }
         )
 
     return (

@@ -102,7 +102,11 @@ def test_grouped_percent_rank_ties(ray_session):
     con = duckdb.connect()
     con.register("t", df)
     want = con.execute(
-        "SELECT id, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) "
-        "AS pct_rank FROM t ORDER BY id"
+        "SELECT id, PERCENT_RANK() OVER w AS pct_rank, "
+        "CUME_DIST() OVER w AS cume_dist, "
+        "CAST(NTILE(4) OVER w2 AS BIGINT) AS tile FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY v), "
+        "w2 AS (PARTITION BY k ORDER BY v, id) ORDER BY id"
     ).fetchdf()
-    assert (got["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
+    for c in ("pct_rank", "cume_dist", "tile"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
