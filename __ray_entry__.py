@@ -2261,6 +2261,47 @@ def q_rel_price_pct_rank(sf_dir):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_doc_rollup_counts(sf_dir):
+    """ROLLUP(source, lang) document counts — (source, lang, n) plus
+    per-source subtotals and the grand total, NULL levels spelled
+    '(all)' so the value-hash compare is collation-proof. ONE pass of
+    per-batch partials emits all three levels pre-combined; one
+    bucketed fold finishes (no second scan per level)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import crc32_str
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lvl2 = b.groupby(["source", "lang"], sort=False).size().reset_index(name="n")
+        lvl1 = lvl2.groupby("source", sort=False)["n"].sum().reset_index()
+        lvl1["lang"] = "(all)"
+        lvl0 = pd.DataFrame(
+            {"source": ["(all)"], "lang": ["(all)"], "n": [lvl1["n"].sum()]}
+        )
+        out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+        key = (out["source"] + "\x00" + out["lang"]).to_numpy()
+        out["__p"] = (crc32_str(key) % np.uint32(16)).astype(np.int32)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "lang"], sort=True)["n"].sum().reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
 def q_rel_customer_revenue(sf_dir):
     """orders ⋈ customer on custkey -> revenue per nation, through the
     generic hash_join surface with broadcast_limit=0 so the PARTITIONED
@@ -2407,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": q_graph_walks,
         "graph_skipgram_pairs": q_graph_skipgram_pairs,
         "rel_price_pct_rank": q_rel_price_pct_rank,
+        "doc_rollup_counts": q_doc_rollup_counts,
         # -- (2) round-3 additions --------------------------------------
         "graph_bcc": q_graph_bcc,
         "graph_bridges": q_graph_bridges,
@@ -4215,6 +4257,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_adamic_adar": _link_pred_sql("1.0 / LN(deg)"),
         "graph_resource_alloc": _link_pred_sql("1.0 / deg"),
+        "doc_rollup_counts": (
+            "SELECT COALESCE(source, '(all)') AS source, "
+            "COALESCE(lang, '(all)') AS lang, COUNT(*) AS n "
+            "FROM documents GROUP BY ROLLUP(source, lang) "
+            "ORDER BY source, lang"
+        ),
         "rel_price_pct_rank": (
             "SELECT o_orderkey, PERCENT_RANK() OVER w AS pct_rank, "
             "CUME_DIST() OVER w AS cume_dist, "
