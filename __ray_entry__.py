@@ -2400,11 +2400,26 @@ def q_pages_pagerank(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER: (1) the 18 queries without a round-2 CORRECTNESS row run
-    # first so a capped driver re-verifies them; (2) the round-3
-    # additions; (3) the 50 queries green in round 2.
+    # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
+    # round (driver cap is ~50) run first; (2) round-4 additions;
+    # (3) queries already driver-green in rounds 1-3.
     return {
-        # -- (1) no round-2 oracle rows ---------------------------------
+        # -- (1) never driver-verified (r1-r3 cap never reached them) ----
+        "graph_multi_bfs": q_graph_multi_bfs,
+        "graph_densest": q_graph_densest,
+        "graph_diamond": q_graph_diamond,
+        "graph_tri_census": q_graph_tri_census,
+        "graph_tailed": q_graph_tailed,
+        "graph_3path": q_graph_3path,
+        "graph_kclique4": q_graph_kclique4,
+        "doc_ngram_pairs": q_doc_ngram_pairs,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_normalize": q_doc_normalize,
+        "doc_top_terms": q_doc_top_terms,
+        "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
+        # -- (2) round-4 additions ---------------------------------------
+        # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
         "doc_char_stats": q_doc_char_stats,
@@ -2456,20 +2471,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_fluid": q_graph_fluid,
         "graph_dominating_set": q_graph_dominating_set,
         "graph_vertex_cover": q_graph_vertex_cover,
-        "graph_multi_bfs": q_graph_multi_bfs,
-        "graph_densest": q_graph_densest,
-        "graph_diamond": q_graph_diamond,
-        "graph_tri_census": q_graph_tri_census,
-        "graph_tailed": q_graph_tailed,
-        "graph_3path": q_graph_3path,
-        "graph_kclique4": q_graph_kclique4,
-        "doc_ngram_pairs": q_doc_ngram_pairs,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_top_bigrams": q_doc_top_bigrams,
-        "doc_normalize": q_doc_normalize,
-        "doc_top_terms": q_doc_top_terms,
-        "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
-        # -- (3) green in round 2 ---------------------------------------
         "graph_edges": q_graph_edges,
         "graph_out_degrees": q_graph_out_degrees,
         "graph_in_degrees": q_graph_in_degrees,

@@ -61,6 +61,51 @@ def box_probe_mops() -> float:
     return round((1 << 23) / best / 1e6, 1)
 
 
+# Below this rate the box is host-contended (uncontended ~53-60 Mops on
+# this VM; 0.5-16 observed during documented noisy-neighbor windows).
+SICK_MOPS = float(os.environ.get("RLG_PROBE_HEALTHY_MOPS", "30"))
+SICK_RETRIES = int(os.environ.get("RLG_SICK_RETRIES", "1"))
+
+
+class Bracket:
+    """Probe-BRACKETED stage timer (round-3 verdict fix: the probe used
+    to run only after all timings, so host contamination could not be
+    distinguished from a regression). Every timed stage records the
+    box-health probe immediately before and after it; a stage whose
+    bracketing window is sick (either probe < SICK_MOPS) is re-run up
+    to SICK_RETRIES times and the healthiest-window attempt is kept
+    (marked sick=true if no healthy window was found)."""
+
+    def __init__(self) -> None:
+        self.queries: dict[str, float] = {}
+        self.probes: dict[str, dict] = {}
+        self.last = box_probe_mops()
+
+    def run(self, name: str, fn):
+        attempts = []
+        for att in range(1 + max(0, SICK_RETRIES)):
+            before = self.last
+            t0 = time.time()
+            val = fn(att)
+            sec = time.time() - t0
+            after = box_probe_mops()
+            self.last = after
+            attempts.append((min(before, after), sec, before, after, val))
+            if min(before, after) >= SICK_MOPS:
+                break
+        health, sec, before, after, val = max(
+            attempts, key=lambda a: (a[0], -a[1])
+        )
+        self.queries[name] = round(sec, 3)
+        self.probes[name] = {
+            "before_mops": before,
+            "after_mops": after,
+            "sick": health < SICK_MOPS,
+            "attempts": len(attempts),
+        }
+        return val
+
+
 def run_bench() -> dict:
     if not os.path.isdir(SF_DIR):
         raise SystemExit(f"GRAFT_SF_DIR does not exist: {SF_DIR}")
@@ -93,11 +138,13 @@ def run_bench() -> dict:
     sf = sf_of(SF_DIR)
     n_pages = max(2000, int(PAGES_PER_SF * sf))
     pages_dir = os.path.join(BENCH_ROOT, f"pages-{n_pages}-s{SEED}")
-    queries: dict[str, float] = {}
+    br = Bracket()
+    queries = br.queries
 
-    t0 = time.time()
-    generate_pages_parquet(pages_dir, n_pages, seed=SEED)
-    queries["generate_or_cache_pages"] = round(time.time() - t0, 3)
+    br.run(
+        "generate_or_cache_pages",
+        lambda att: generate_pages_parquet(pages_dir, n_pages, seed=SEED),
+    )
 
     # warm the page cache so build timing measures compute, not first I/O
     rd.read_parquet(pages_dir).count()
@@ -119,30 +166,33 @@ def run_bench() -> dict:
 
     # ---- pipeline build (extract -> edges -> CSR) -----------------------
     run_tag = f"{n_pages}-c{NUM_CPUS}-{int(time.time())}"
-    out_dir = os.path.join(BENCH_ROOT, f"pipe-{run_tag}")
-    t0 = time.time()
-    graph, _vmap = build_linkgraph_from_pages(
-        pages_dir,
-        out_dir,
-        P=32,
-        vmap_partitions=64,
-        extract_concurrency=(max(1, NUM_CPUS // 2), max(2, NUM_CPUS - 2)),
-        extract_batch_size=256,
-        write_text_table=True,
-    )
-    queries["build_extract_edges_csr"] = round(time.time() - t0, 3)
+
+    def _build(att: int):
+        out_dir = os.path.join(BENCH_ROOT, f"pipe-{run_tag}-a{att}")
+        return build_linkgraph_from_pages(
+            pages_dir,
+            out_dir,
+            P=32,
+            vmap_partitions=64,
+            extract_concurrency=(max(1, NUM_CPUS // 2), max(2, NUM_CPUS - 2)),
+            extract_batch_size=256,
+            write_text_table=True,
+        )
+
+    graph, _vmap = br.run("build_extract_edges_csr", _build)
 
     # ---- PageRank to 1e-6 (headline; resident actor engine, every-
     # superstep checkpoints per the north rule) ---------------------------
-    t0 = time.time()
-    res = run_bsp_actors(
-        graph,
-        PageRank(graph.n_vertices, alpha=0.85, tol=1e-6, max_rounds=100),
-        os.path.join(BENCH_ROOT, f"ck-pr-{run_tag}"),
-        resume=False,
+    res = br.run(
+        "pagerank",
+        lambda att: run_bsp_actors(
+            graph,
+            PageRank(graph.n_vertices, alpha=0.85, tol=1e-6, max_rounds=100),
+            os.path.join(BENCH_ROOT, f"ck-pr-{run_tag}-a{att}"),
+            resume=False,
+        ),
     )
-    pr_sec = time.time() - t0
-    queries["pagerank"] = round(pr_sec, 3)
+    pr_sec = queries["pagerank"]
     supersteps = res.rounds
     it = max(res.iterate_sec, 1e-9)
     pagerank = {
@@ -157,37 +207,56 @@ def run_bench() -> dict:
     }
 
     # ---- WCC / CDLP on the symmetrized view -----------------------------
-    t0 = time.time()
-    und = undirected_view(graph, os.path.join(BENCH_ROOT, f"und-{run_tag}"))
-    queries["build_undirected"] = round(time.time() - t0, 3)
+    und = br.run(
+        "build_undirected",
+        lambda att: undirected_view(
+            graph, os.path.join(BENCH_ROOT, f"und-{run_tag}-a{att}")
+        ),
+    )
 
-    t0 = time.time()
-    run_bsp_actors(und, WCC(), os.path.join(BENCH_ROOT, f"ck-wcc-{run_tag}"),
-                   max_rounds=10_000, resume=False)
-    queries["wcc"] = round(time.time() - t0, 3)
+    br.run(
+        "wcc",
+        lambda att: run_bsp_actors(
+            und, WCC(), os.path.join(BENCH_ROOT, f"ck-wcc-{run_tag}-a{att}"),
+            max_rounds=10_000, resume=False,
+        ),
+    )
 
-    t0 = time.time()
-    run_bsp_actors(und, CDLP(max_rounds=10), os.path.join(BENCH_ROOT, f"ck-cdlp-{run_tag}"),
-                   max_rounds=10, resume=False)
-    queries["cdlp"] = round(time.time() - t0, 3)
+    br.run(
+        "cdlp",
+        lambda att: run_bsp_actors(
+            und, CDLP(max_rounds=10),
+            os.path.join(BENCH_ROOT, f"ck-cdlp-{run_tag}-a{att}"),
+            max_rounds=10, resume=False,
+        ),
+    )
 
-    t0 = time.time()
-    run_triangles(und, os.path.join(BENCH_ROOT, f"tri-{run_tag}")).count()
-    queries["triangles"] = round(time.time() - t0, 3)
+    br.run(
+        "triangles",
+        lambda att: run_triangles(
+            und, os.path.join(BENCH_ROOT, f"tri-{run_tag}-a{att}")
+        ).count(),
+    )
 
     # ---- training-data ops on the sf dir's own tables -------------------
     from raylinkgraph.functions.dedup import minhash_lsh_pairs
     from raylinkgraph.functions.similarity import knn_cosine
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_lsh_pairs(docs, threshold=0.5, concurrency=(1, max(2, NUM_CPUS - 2))).count()
-    queries["minhash_dedup"] = round(time.time() - t0, 3)
+    br.run(
+        "minhash_dedup",
+        lambda att: minhash_lsh_pairs(
+            docs, threshold=0.5, concurrency=(1, max(2, NUM_CPUS - 2))
+        ).count(),
+    )
 
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.time()
-    knn_cosine(emb, [0, 1, 2, 3, 4], k=10, concurrency=(1, max(2, NUM_CPUS - 2)))
-    queries["knn_cosine"] = round(time.time() - t0, 3)
+    br.run(
+        "knn_cosine",
+        lambda att: knn_cosine(
+            emb, [0, 1, 2, 3, 4], k=10, concurrency=(1, max(2, NUM_CPUS - 2))
+        ),
+    )
 
     ray.shutdown()
     return {
@@ -199,7 +268,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "pagerank": pagerank,
-        "box_gather_mops": box_probe_mops(),
+        "probes": br.probes,
+        "probe_healthy_threshold_mops": SICK_MOPS,
+        "box_gather_mops": br.last,
     }
 
 
@@ -215,6 +286,7 @@ def run_scale_pagerank() -> dict:
     import ray
     import ray.data as rd
 
+    probe_before = box_probe_mops()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -276,6 +348,7 @@ def run_scale_pagerank() -> dict:
         "round_secs": [round(r, 4) for r in res.round_secs],
         "n_edges": graph.n_edges,
         "num_cpus": NUM_CPUS,
+        "box_gather_mops_before": probe_before,
         "box_gather_mops": box_probe_mops(),
     }
 
@@ -343,6 +416,12 @@ def run_scaling() -> dict:
             "iterate_sec_total": round(sum(rounds), 3),
             "n_rounds_pooled": len(rounds),
             "n_edges": n_edges,
+            # bracketing box-health probes ([before, after] per fresh
+            # run) so each level's window health is on the record
+            "probes_mops": [
+                [r.get("box_gather_mops_before"), r.get("box_gather_mops")]
+                for r in runs
+            ],
         }
 
     def win_eff(wlo: int, whi: int) -> dict:
@@ -371,6 +450,7 @@ def run_scaling() -> dict:
                 "peak_edges_per_sec": best[c]["peak_edges_per_sec"],
                 "mean_edges_per_sec": best[c]["edges_per_sec"],
                 "median_edges_per_sec": best[c]["median_edges_per_sec"],
+                "probes_mops": best[c]["probes_mops"],
             }
             for c in best
         },

@@ -28,15 +28,18 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from raylinkgraph.functions.hashing import pair_hash, partition_of
+from raylinkgraph.functions.hashing import check_u32, pair_hash, partition_of
 
 _B = 32
 
 
 def _enc(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Unordered (u, v) with u < v packed into one int64 (ids < 2^31)."""
+    """Unordered (u, v) with u < v packed into one int64; ids validated
+    to fit u32 (silent corruption otherwise — advisor round-3)."""
     lo = np.minimum(u, v)
     hi = np.maximum(u, v)
+    check_u32(hi, "ktruss vertex id")
+    check_u32(lo, "ktruss vertex id")
     return (lo << np.int64(32)) | hi
 
 

@@ -50,7 +50,7 @@ def _pa_schema(ds: rd.Dataset) -> pa.Schema:
 
 def _key_buckets(vals: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
     if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
-        return (crc32_str(vals.to_pylist()) % np.uint32(buckets)).astype(np.int32)
+        return (crc32_str(vals) % np.uint32(buckets)).astype(np.int32)
     v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
     return partition_of(v, buckets).astype(np.int32)
 

@@ -34,7 +34,7 @@ def _hll_alpha(m: int) -> float:
 def _hash_column(vals, is_str: bool) -> np.ndarray:
     if is_str:
         # crc32 alone has only 32 bits; widen deterministically
-        h32 = crc32_str(vals.to_pylist()).astype(np.uint64)
+        h32 = crc32_str(vals).astype(np.uint64)
         return splitmix64(h32)
     v = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
     return splitmix64(v)
@@ -149,7 +149,15 @@ def bottom_k_sample(
         return out
 
     got = ds.map_batches(trim, batch_format="pandas").to_pandas()
-    got = got.nsmallest(k, "__h", keep="all").sort_values("__h").head(k)
+    # secondary tie key: duplicate id_col values hash identically, and
+    # nsmallest alone would break such ties by incidental row order
+    # (partition-dependent); sorting by (__h, id_col) keeps the result a
+    # pure function of the id multiset (advisor round-3)
+    got = (
+        got.nsmallest(k, "__h", keep="all")
+        .sort_values(["__h", id_col], kind="mergesort")
+        .head(k)
+    )
     return got.drop(columns="__h").reset_index(drop=True)
 
 

@@ -120,8 +120,15 @@ def interval_join(
     lo = ivs[lo_col].to_numpy(np.float64)
     hi = ivs[hi_col].to_numpy(np.float64)
     if band_width is None:
-        band_width = float(np.median(hi - lo))
+        band_width = float(np.median(hi - lo)) if len(ivs) else 0.0
     W = float(band_width)
+    if not W > 0 or not np.isfinite(W):
+        # all-zero-length intervals (or an empty frame) give W=0 and
+        # floor(v/0) -> inf bands; fail loudly (advisor round-3)
+        raise ValueError(
+            f"interval_join band_width must be finite and > 0, got {W}; "
+            "pass band_width= explicitly when intervals are zero-length"
+        )
     band_lo = np.floor(lo / W).astype(np.int64)
     # hi is exclusive: a zero-length or exact-boundary interval must not
     # leak into the next band

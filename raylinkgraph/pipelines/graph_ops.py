@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from raylinkgraph.functions.hashing import partition_of
+from raylinkgraph.functions.hashing import check_u32, partition_of
 from raylinkgraph.stages.graph_build import LinkGraph
 
 
@@ -577,6 +577,15 @@ def top_link_pred_pairs(
     and keeps only its local top-k (a pair lives in exactly one bucket,
     so the global top-k is a subset of the B*k survivors), which the
     driver merges. Ties break on (a, b): total-ordered, oracle-exact.
+
+    Portability note (advisor round-3): ``adamic_adar`` uses the
+    platform libm ``log`` on both the engine (numpy) and oracle (DuckDB
+    LN) sides. Like top_terms' division note, last-ulp libm divergence
+    could in principle flip the floor(x*1e6+0.5) quantization at an
+    exact .5 boundary on another platform; on this platform engine and
+    oracle agree bit-exact (driver-verified). A cross-platform
+    deployment should either share a small-integer-degree ln table or
+    compare at 1e-6 tolerance instead of hash-exact.
     """
     if method == "jaccard":
         return _jaccard_pairs(
@@ -589,10 +598,11 @@ def top_link_pred_pairs(
     }[method]
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # validate u32 BEFORE the (a << 32) | b pair packing downstream
         return pd.DataFrame(
             {
-                "s": b[src_col].to_numpy(np.int64),
-                "d": b[dst_col].to_numpy(np.int64),
+                "s": check_u32(b[src_col].to_numpy(np.int64)),
+                "d": check_u32(b[dst_col].to_numpy(np.int64)),
                 "__b": partition_of(b[dst_col].to_numpy(np.int64), buckets),
             }
         )
@@ -605,7 +615,12 @@ def top_link_pred_pairs(
         starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
         ends = np.r_[starts[1:], len(d)]
         degs = (ends - starts).astype(np.float64)
-        weights = wfun(degs)
+        # deg-1 centers emit no pairs (the m < 2 skip below) — mask them
+        # out of wfun so adamic_adar's 1/ln(1) doesn't emit a divide
+        # warning for a value that is never used (advisor round-3)
+        weights = np.zeros_like(degs)
+        multi = degs >= 2
+        weights[multi] = wfun(degs[multi])
         chunks, wchunks = [], []
         for lo, hi, w in zip(starts, ends, weights):
             m = hi - lo
@@ -675,10 +690,11 @@ def _jaccard_pairs(
     LOW32 = np.int64((1 << 32) - 1)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # validate u32 BEFORE the (a << 32) | b pair packing downstream
         return pd.DataFrame(
             {
-                "s": b[src_col].to_numpy(np.int64),
-                "d": b[dst_col].to_numpy(np.int64),
+                "s": check_u32(b[src_col].to_numpy(np.int64)),
+                "d": check_u32(b[dst_col].to_numpy(np.int64)),
                 "__b": partition_of(b[dst_col].to_numpy(np.int64), buckets),
             }
         )

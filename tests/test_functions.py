@@ -358,3 +358,61 @@ def test_hll_approx_distinct(docs, docs_pdf):
     # deterministic and partition-invariant
     est2 = sketches.approx_distinct(toks.repartition(5), "term", p=12)
     assert est2 == est
+
+
+def test_crc32_str_matches_zlib_on_all_input_kinds():
+    """The Arrow-buffer fast path must be bit-identical to per-string
+    zlib.crc32 (gid assignment and every string bucketing depends on it)."""
+    import random
+    import string
+    import zlib
+
+    import pyarrow as pa
+
+    from raylinkgraph.functions.hashing import any_key_partition, crc32_str
+
+    random.seed(7)
+    vals = ["", "a", "https://example.com/x?y=1", "é漢字🎉"] + [
+        "".join(random.choices(string.printable, k=random.randint(0, 120)))
+        for _ in range(300)
+    ]
+    ref = np.array([zlib.crc32(v.encode("utf-8")) for v in vals], np.uint32)
+    arr = pa.array(vals, pa.string())
+    assert (crc32_str(vals) == ref).all()
+    assert (crc32_str(arr) == ref).all()
+    assert (crc32_str(pa.array(vals, pa.large_string())) == ref).all()
+    assert (crc32_str(pa.chunked_array([vals[:50], vals[50:]])) == ref).all()
+    assert (crc32_str(arr.slice(3, 200)) == ref[3:203]).all()
+    assert (crc32_str(np.array(vals, dtype=object)) == ref).all()
+    assert (any_key_partition(arr, 16) == (ref % 16).astype(np.int32)).all()
+
+
+def test_check_u32_rejects_out_of_range_ids():
+    from raylinkgraph.functions.hashing import check_u32
+
+    check_u32(np.array([0, 1, (1 << 32) - 1], np.int64))
+    check_u32(np.array([], np.int64))
+    with pytest.raises(ValueError):
+        check_u32(np.array([1 << 32], np.int64))
+    with pytest.raises(ValueError):
+        check_u32(np.array([-1, 5], np.int64))
+
+
+def test_interval_join_rejects_zero_band_width(ray_session):
+    from raylinkgraph.functions.windows import interval_join
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [1.0, 2.0]}))
+    ivs = pd.DataFrame({"lo": [1.0, 2.0], "hi": [1.0, 2.0], "tag": ["a", "b"]})
+    with pytest.raises(ValueError, match="band_width"):
+        interval_join(ds, ivs, "v", "lo", "hi")
+
+
+def test_bottom_k_sample_tie_break_is_partition_invariant(ray_session):
+    """Duplicate ids hash identically; the result must still be a pure
+    function of the id multiset, independent of block layout."""
+    from raylinkgraph.functions.sketches import bottom_k_sample
+
+    df = pd.DataFrame({"id": [5, 5, 5, 9, 9, 2, 2, 7], "v": range(8)})
+    a = bottom_k_sample(rd.from_pandas(df).repartition(1), "id", 4, columns=["v"])
+    b = bottom_k_sample(rd.from_pandas(df).repartition(5), "id", 4, columns=["v"])
+    assert sorted(a["id"]) == sorted(b["id"])
