@@ -2399,6 +2399,102 @@ def q_pages_pagerank(sf_dir):
     return out[["oid", "url", "rank_e6"]]
 
 
+# ---------------------------------------------------------------------------
+# multi-label property graph family (reference graph.py:80-97 labeled
+# vertex/edge tables; twitter multi-label fixtures conftest.py:150-360).
+# Gid layout: local_key + label_index * 2^40 in sorted-label order —
+# customer=0, nation=1, region=2, supplier=3 — reproduced verbatim in SQL.
+# ---------------------------------------------------------------------------
+
+PG_PR_ROUNDS = 6
+
+
+def q_pg_counts(sf_dir):
+    """Per-label vertex/edge cardinalities straight off the labeled tables
+    (report_graph NODE_NUM/EDGE_NUM over a labeled graph,
+    core/fragment/fragment_reporter.h:69-208)."""
+    from raylinkgraph.pipelines.tpch_graph import tpch_property_graph
+
+    pg = tpch_property_graph(sf_dir)
+    rows = [("vertex", lab, pg.num_vertices(lab)) for lab in pg.vertex_labels]
+    rows += [("edge", lab, pg.num_edges(lab, distinct=True)) for lab in pg.edge_labels]
+    return (
+        pd.DataFrame(rows, columns=["kind", "label", "n"])
+        .sort_values(["kind", "label"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pg_edges(sf_dir):
+    """Label-projected simple view (project_to_simple on a multi-label
+    graph): dedup'd (src_id, dst_id) in the packed gid space."""
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    df = get_graph(sf_dir, "pg").edges_ds().to_pandas()
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def q_pg_degrees(sf_dir):
+    """Out-degrees of the projected labeled graph, mapped back onto
+    (vlabel, vkey) — the labeled-context result path (LabeledVertexPropertyContext,
+    core/context/labeled_vertex_property_context.h:53)."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph, tpch_property_graph
+
+    g = get_graph(sf_dir, "pg")
+    pg = tpch_property_graph(sf_dir)
+    df = graph_ops.out_degrees(g).to_pandas()
+    df = df[df["out_deg"] > 0]
+    df = pg.with_labels(df, "oid")
+    return (
+        df[["vlabel", "vkey", "out_deg"]]
+        .sort_values(["vlabel", "vkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pg_wcc(sf_dir):
+    """WCC over the undirected labeled projection; components mapped back
+    to (vlabel, vkey) — customers/suppliers/nations cluster per region."""
+    from raylinkgraph.algos import WCC
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import (
+        get_graph,
+        tpch_property_graph,
+        workdir_for,
+    )
+
+    g = get_graph(sf_dir, "pg_und")
+    res = run_bsp(g, WCC(), workdir_for(sf_dir, "pg_wcc"), max_rounds=10_000)
+    df = tpch_property_graph(sf_dir).with_labels(res.state_pandas()[["oid", "comp"]])
+    return (
+        df[["vlabel", "vkey", "comp"]]
+        .sort_values(["vlabel", "vkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pg_pagerank(sf_dir):
+    """Fixed-round PageRank over the directed labeled projection
+    (pagerank_networkx.h semantics — regions are dangling sinks here, so
+    the dangling-mass redistribution term is genuinely exercised)."""
+    from raylinkgraph.algos import PageRank
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pg")
+    res = run_bsp(
+        g,
+        PageRank(g.n_vertices, alpha=ALPHA, tol=0.0, max_rounds=PG_PR_ROUNDS),
+        workdir_for(sf_dir, "pg_pr"),
+        max_rounds=PG_PR_ROUNDS,
+    )
+    df = res.state_pandas()[["oid", "rank"]]
+    return pd.DataFrame(
+        {"oid": df["oid"], "rank_e6": _rank_e6(df["rank"].to_numpy())}
+    ).sort_values("oid").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -2419,6 +2515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
         # -- (2) round-4 additions ---------------------------------------
+        "pg_counts": q_pg_counts,
+        "pg_edges": q_pg_edges,
+        "pg_degrees": q_pg_degrees,
+        "pg_wcc": q_pg_wcc,
+        "pg_pagerank": q_pg_pagerank,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -2537,10 +2638,28 @@ _PP_EDGES = (
     "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
 )
 
+# Multi-label property-graph projection in SQL: gid = key + label_idx * 2^40,
+# labels in sorted order (customer=0, nation=1, region=2, supplier=3) —
+# byte-for-byte the arithmetic in raylinkgraph/pipelines/property_graph.py.
+_PG_S = 1_099_511_627_776  # 2^40 == property_graph.LABEL_STRIDE
+_PG_EDGES = (
+    "SELECT DISTINCT src_id, dst_id FROM ("
+    f"SELECT c_custkey AS src_id, c_nationkey + {_PG_S} AS dst_id FROM customer "
+    f"UNION ALL SELECT n_nationkey + {_PG_S}, n_regionkey + {2 * _PG_S} FROM nation "
+    f"UNION ALL SELECT s_suppkey + {3 * _PG_S}, s_nationkey + {_PG_S} FROM supplier)"
+)
 
-def _pagerank_sql(rounds: int, alpha: float) -> str:
+
+def _pg_vlabel(col: str) -> str:
+    return (
+        f"CASE ({col} // {_PG_S}) WHEN 0 THEN 'customer' WHEN 1 THEN 'nation' "
+        "WHEN 2 THEN 'region' WHEN 3 THEN 'supplier' END"
+    )
+
+
+def _pagerank_sql(rounds: int, alpha: float, edges_sql: str | None = None) -> str:
     ctes = [
-        f"edges AS MATERIALIZED ({_EDGES})",
+        f"edges AS MATERIALIZED ({edges_sql or _EDGES})",
         "verts AS MATERIALIZED (SELECT src_id AS v FROM edges UNION SELECT dst_id FROM edges)",
         "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
         "deg AS MATERIALIZED (SELECT src_id AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src_id)",
@@ -2594,9 +2713,9 @@ def _conv_guard(name: str, cur: str, prev: str, key: str, col: str | None) -> st
     )
 
 
-def _wcc_sql(rounds: int) -> str:
+def _wcc_sql(rounds: int, edges_sql: str | None = None) -> str:
     ctes = [
-        f"edges AS MATERIALIZED ({_EDGES})",
+        f"edges AS MATERIALIZED ({edges_sql or _EDGES})",
         "uedges AS MATERIALIZED (SELECT src_id AS s, dst_id AS d FROM edges "
         "UNION SELECT dst_id, src_id FROM edges)",
         "verts AS MATERIALIZED (SELECT s AS v FROM uedges UNION SELECT d FROM uedges)",
@@ -4163,6 +4282,32 @@ def oracle_sql() -> dict[str, str]:
         # shallower, as sf grows — margin grows with sf, not shrinks).
         "graph_pagerank": _pagerank_sql(PR_ROUNDS, ALPHA),
         "graph_wcc": _wcc_sql(30),
+        # -- multi-label property graph (gid = key + label_idx * 2^40) ----
+        "pg_counts": (
+            "SELECT * FROM ("
+            "SELECT 'vertex' AS kind, 'customer' AS label, COUNT(*) AS n FROM customer "
+            "UNION ALL SELECT 'vertex', 'nation', COUNT(*) FROM nation "
+            "UNION ALL SELECT 'vertex', 'region', COUNT(*) FROM region "
+            "UNION ALL SELECT 'vertex', 'supplier', COUNT(*) FROM supplier "
+            "UNION ALL SELECT 'edge', 'cust_nation', COUNT(*) FROM "
+            "(SELECT DISTINCT c_custkey, c_nationkey FROM customer) "
+            "UNION ALL SELECT 'edge', 'nation_region', COUNT(*) FROM "
+            "(SELECT DISTINCT n_nationkey, n_regionkey FROM nation) "
+            "UNION ALL SELECT 'edge', 'supp_nation', COUNT(*) FROM "
+            "(SELECT DISTINCT s_suppkey, s_nationkey FROM supplier)"
+            ") ORDER BY kind, label"
+        ),
+        "pg_edges": f"SELECT * FROM ({_PG_EDGES}) ORDER BY src_id, dst_id",
+        "pg_degrees": (
+            f"SELECT {_pg_vlabel('src_id')} AS vlabel, src_id % {_PG_S} AS vkey, "
+            f"COUNT(*) AS out_deg FROM ({_PG_EDGES}) "
+            "GROUP BY src_id ORDER BY vlabel, vkey"
+        ),
+        "pg_wcc": (
+            f"SELECT {_pg_vlabel('oid')} AS vlabel, oid % {_PG_S} AS vkey, comp "
+            f"FROM ({_wcc_sql(12, _PG_EDGES)}) ORDER BY vlabel, vkey"
+        ),
+        "pg_pagerank": _pagerank_sql(PG_PR_ROUNDS, ALPHA, _PG_EDGES),
         "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "graph_bfs": _bfs_sql(25),
         "graph_triangles": _triangles_sql(),

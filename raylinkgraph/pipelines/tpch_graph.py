@@ -233,6 +233,57 @@ def pp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     )
 
 
+def tpch_property_graph(sf_dir: str):
+    """Multi-label PropertyGraph over the driver's TPC-H-ish tables — the
+    labeled analogue of the reference's twitter multi-label fixtures
+    (python/graphscope/tests/unittest/conftest.py:150-360, graph.py:80-97).
+
+    Vertex labels (sorted order fixes the gid layout):
+      customer (idx 0) | nation (idx 1) | region (idx 2) | supplier (idx 3)
+    Edge labels (each source table IS the edge table; endpoints are the
+    labels' local keys):
+      cust_nation:   customer.(c_custkey -> c_nationkey)
+      nation_region: nation.(n_nationkey -> n_regionkey)
+      supp_nation:   supplier.(s_suppkey -> s_nationkey)
+
+    gid = local_key + label_index * 2^40, reproducible verbatim in the
+    DuckDB oracles (``c_custkey + 0``, ``n_nationkey + 1099511627776``,
+    ...). Reads are column-pruned to the key pairs.
+    """
+    from raylinkgraph.pipelines.property_graph import PropertyGraph
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    pg = (
+        PropertyGraph()
+        .add_vertices("customer", cust, "c_custkey")
+        .add_vertices("nation", nat, "n_nationkey")
+        .add_vertices("region", reg, "r_regionkey")
+        .add_vertices("supplier", supp, "s_suppkey")
+        .add_edges(
+            "cust_nation", cust, "c_custkey", "c_nationkey",
+            src_label="customer", dst_label="nation",
+        )
+        .add_edges(
+            "nation_region", nat, "n_nationkey", "n_regionkey",
+            src_label="nation", dst_label="region",
+        )
+        .add_edges(
+            "supp_nation", supp, "s_suppkey", "s_nationkey",
+            src_label="supplier", dst_label="nation",
+        )
+    )
+    return pg
+
+
 _MEMO: dict[tuple[str, str], LinkGraph] = {}
 
 
@@ -241,7 +292,7 @@ def _content_sig(sf_dir: str) -> str:
     into every cache tag so regenerated testdata at the same path never
     silently reuses stale graph artifacts."""
     parts = []
-    for name in ("orders", "lineitem"):
+    for name in ("orders", "lineitem", "customer", "supplier", "nation", "region"):
         p = os.path.join(sf_dir, f"{name}.parquet")
         try:
             st = os.stat(p)
@@ -339,6 +390,12 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
                 augment_edges_ds(cpr_edges(sf_dir)), gdir, P=P,
                 symmetrize=False, weight_col="flag", dedup_weight="or",
             )
+        elif kind == "pg":
+            # label-projected simple view of the multi-label property
+            # graph (members -> nation -> region, directed)
+            g = tpch_property_graph(sf_dir).to_simple(gdir, P=P, symmetrize=False)
+        elif kind == "pg_und":
+            g = tpch_property_graph(sf_dir).to_simple(gdir, P=P, symmetrize=True)
         else:
             raise ValueError(kind)
     _MEMO[key] = g
