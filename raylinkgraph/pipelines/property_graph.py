@@ -198,8 +198,20 @@ class PropertyGraph:
         self, graph_dir: str, e_labels: list[str] | None = None, **build_kw
     ) -> LinkGraph:
         """project() -> LinkGraph.build: the labeled analogue of the
-        reference's project_to_simple + arrow_fragment load."""
-        return LinkGraph.build(self.project(e_labels), graph_dir, **build_kw)
+        reference's project_to_simple + arrow_fragment load. Passing
+        ``weight_col`` (a LinkGraph.build kwarg) makes the projection
+        carry each edge label's registered weight column (1.0 where a
+        label has none), renamed to that output column."""
+        wcol = build_kw.get("weight_col")
+        edges = self.project(e_labels, weight=wcol is not None)
+        if wcol is not None and wcol != "weight":
+            edges = edges.map_batches(
+                lambda t, w=wcol: t.rename_columns(
+                    [w if c == "weight" else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return LinkGraph.build(edges, graph_dir, **build_kw)
 
     # -- result mapping --------------------------------------------------------
 

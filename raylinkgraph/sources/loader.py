@@ -22,7 +22,9 @@ def parse_location(uri: str) -> tuple[str, dict]:
     for p in parts[1:]:
         if "=" in p:
             k, v = p.split("=", 1)
-            opts[k.strip()] = v.strip()
+            # value is NOT stripped: a single-space delimiter
+            # (`#delimiter= `, the .v/.e graph-file convention) is legal
+            opts[k.strip()] = v
     return path, opts
 
 
@@ -32,7 +34,7 @@ def _bool(v: str, default: bool) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
-def _probe_ncol(path: str, delim: str) -> int:
+def _probe_ncol(path: str, delim: str, filesystem=None) -> int:
     """Column count from the first line of the first CSV shard.
 
     Resolved through ``pyarrow.fs.FileSystem.from_uri`` so the probe
@@ -43,7 +45,9 @@ def _probe_ncol(path: str, delim: str) -> int:
     its lexicographically first shard."""
     from pyarrow import fs as pafs
 
-    if "://" in path:
+    if filesystem is not None:
+        fsys, fpath = filesystem, path
+    elif "://" in path:
         fsys, fpath = pafs.FileSystem.from_uri(path)
     else:
         fsys, fpath = pafs.LocalFileSystem(), os.path.abspath(path)
@@ -62,16 +66,32 @@ def _probe_ncol(path: str, delim: str) -> int:
     return len(first.split(delim))
 
 
-def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
-    """Read a table from an option-suffixed location string."""
+def load_table(
+    uri: str, *, columns: list[str] | None = None, filesystem=None
+) -> rd.Dataset:
+    """Read a table from an option-suffixed location string.
+
+    ``filesystem`` (optional) is any ``pyarrow.fs.FileSystem`` — including
+    ``PyFileSystem(FSSpecHandler(...))`` wrappers for fsspec-only schemes
+    — forwarded to the Ray Data read AND the header probe, so remote
+    object stores (the reference Loader's oss://, hdfs://, s3://,
+    framework/loader.py:94-211) flow through the same code path as local
+    files."""
     path, opts = parse_location(uri)
     lower = path.lower()
-    if lower.endswith(".parquet") or lower.endswith(".pq"):
-        return rd.read_parquet(path, columns=columns)
-    if lower.endswith(".json") or lower.endswith(".jsonl"):
-        ds = rd.read_json(path)
+    # explicit `#format=` wins over the extension (reference Loader also
+    # accepts an explicit format, framework/loader.py:94-211) — how
+    # extension-less graph files (.v/.e) route into the CSV reader
+    fmt = opts.get("format", "").strip().lower()
+    if fmt == "parquet" or (not fmt and (lower.endswith(".parquet") or lower.endswith(".pq"))):
+        return rd.read_parquet(path, columns=columns, filesystem=filesystem)
+    if fmt == "json" or (not fmt and (lower.endswith(".json") or lower.endswith(".jsonl"))):
+        ds = rd.read_json(path, filesystem=filesystem)
         return ds.select_columns(columns) if columns else ds
-    if lower.endswith(".csv") or lower.endswith(".tsv") or lower.endswith(".txt"):
+    if fmt == "csv" or (
+        not fmt
+        and (lower.endswith(".csv") or lower.endswith(".tsv") or lower.endswith(".txt"))
+    ):
         from pyarrow import csv as pacsv
 
         delim = opts.get("delimiter", "\t" if lower.endswith(".tsv") else ",")
@@ -82,12 +102,15 @@ def load_table(uri: str, *, columns: list[str] | None = None) -> rd.Dataset:
         if header:
             read_options = pacsv.ReadOptions()
         else:
-            ncol = _probe_ncol(path, delim)
+            ncol = _probe_ncol(path, delim, filesystem)
             read_options = pacsv.ReadOptions(
                 column_names=[f"f{i}" for i in range(ncol)]
             )
         ds = rd.read_csv(
-            path, parse_options=parse_options, read_options=read_options
+            path,
+            parse_options=parse_options,
+            read_options=read_options,
+            filesystem=filesystem,
         )
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported location: {uri}")
