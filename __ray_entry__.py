@@ -2474,6 +2474,25 @@ def q_pg_wcc(sf_dir):
     )
 
 
+def q_pg_graphar_roundtrip(sf_dir):
+    """GraphAr v1 interchange (dag_utils.py:1085 save_to_graphar;
+    tests/unittest/test_graphar.py): export the labeled graph, load it
+    back, return the projected edge list — oracle-identical to pg_edges,
+    so the round-trip is hash-exact end to end."""
+    import tempfile
+
+    from raylinkgraph.pipelines.tpch_graph import tpch_property_graph
+    from raylinkgraph.sources.graphar import load_graphar, save_to_graphar
+
+    with tempfile.TemporaryDirectory(prefix="gar-q-") as d:
+        entry_yaml = save_to_graphar(
+            tpch_property_graph(sf_dir), d, graph_name="tpch_pg"
+        )
+        pg2 = load_graphar(entry_yaml)
+        df = pg2.project().to_pandas().drop_duplicates()
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
 def q_pg_pagerank(sf_dir):
     """Fixed-round PageRank over the directed labeled projection
     (pagerank_networkx.h semantics — regions are dangling sinks here, so
@@ -2520,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_degrees": q_pg_degrees,
         "pg_wcc": q_pg_wcc,
         "pg_pagerank": q_pg_pagerank,
+        "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4308,6 +4328,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_wcc_sql(12, _PG_EDGES)}) ORDER BY vlabel, vkey"
         ),
         "pg_pagerank": _pagerank_sql(PG_PR_ROUNDS, ALPHA, _PG_EDGES),
+        "pg_graphar_roundtrip": f"SELECT * FROM ({_PG_EDGES}) ORDER BY src_id, dst_id",
         "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "graph_bfs": _bfs_sql(25),
         "graph_triangles": _triangles_sql(),

@@ -1,0 +1,379 @@
+"""GraphAr (gar/v1) interchange export / import for PropertyGraph.
+
+The reference persists graphs to the Apache GraphAr format via
+``g.save_to(dir, format="graphar", graphar_graph_name=...,
+graphar_file_type="parquet", graphar_vertex_chunk_size=...,
+graphar_edge_chunk_size=...)`` and restores them with
+``Graph.load_from(uri)`` (dag_utils.py:1085 save_to_graphar;
+tests/unittest/test_graphar.py round-trips). This module provides the
+same capability over :class:`PropertyGraph`.
+
+On-disk layout produced (the public GraphAr v1 spec, parquet payload):
+
+    <name>.graph.yaml                       graph: labels + version
+    <vlabel>.vertex.yaml                    per vertex label metadata
+    vertex/<vlabel>/vertex_count            text: row count
+    vertex/<vlabel>/<group>/chunk<i>        parquet, vertex_chunk_size rows
+    <src>_<elabel>_<dst>.edge.yaml          per edge label metadata
+    edge/<triple>/ordered_by_source/
+        edge_count<i>                       text: edges per src-chunk part
+        adj_list/part<i>/chunk<j>           parquet: _graphArSrcIndex,
+                                            _graphArDstIndex (+ properties)
+        offset/chunk<i>                     parquet: per-vertex cumulative
+                                            offsets within part i
+
+Internal vertex ids are row positions in primary-key-sorted order —
+deterministic at any parallelism. Edge endpoints are translated
+key->internal via a broadcast sorted-key lookup (``ray.put`` once,
+``np.searchsorted`` per batch), and edges are globally sorted by
+(src, dst) with Ray Data's distributed sort before chunking.
+
+Scale note: chunk files are assembled by streaming the sorted Dataset's
+batches through the writer (O(chunk) memory). GraphAr is the
+*interchange* path; the engine's own partitioned graph dir remains the
+100TB-scale serialization (stages/graph_build.py). For an export whose
+single label exceeds driver streaming, shard by key range and export
+each shard as its own GraphAr graph.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+GAR_VERSION = "gar/v1"
+SRC_COL = "_graphArSrcIndex"
+DST_COL = "_graphArDstIndex"
+OFFSET_COL = "_graphArOffset"
+
+_DTYPES = {
+    pa.int32(): "int32",
+    pa.int64(): "int64",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.bool_(): "bool",
+    pa.string(): "string",
+    pa.large_string(): "string",
+}
+_DTYPES_BACK = {
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "string": pa.string(),
+}
+
+
+def _gar_type(t: pa.DataType) -> str:
+    for k, v in _DTYPES.items():
+        if t.equals(k):
+            return v
+    raise ValueError(f"GraphAr v1 has no mapping for arrow type {t}")
+
+
+def _write_chunked(ds_sorted: rd.Dataset, out_dir: str, chunk_size: int,
+                   fname) -> int:
+    """Stream a sorted Dataset into fixed-size parquet chunk files
+    ``fname(i)``; returns total rows."""
+    os.makedirs(out_dir, exist_ok=True)
+    buf: list[pa.Table] = []
+    buffered = 0
+    total = 0
+    chunk_no = 0
+
+    def flush(n: int) -> None:
+        nonlocal buf, buffered, chunk_no
+        t = pa.concat_tables(buf)
+        head, tail = t.slice(0, n), t.slice(n)
+        pq.write_table(head, os.path.join(out_dir, fname(chunk_no)))
+        chunk_no += 1
+        buf = [tail] if tail.num_rows else []
+        buffered = tail.num_rows
+
+    for batch in ds_sorted.iter_batches(batch_size=chunk_size,
+                                        batch_format="pyarrow"):
+        buf.append(batch)
+        buffered += batch.num_rows
+        total += batch.num_rows
+        while buffered >= chunk_size:
+            flush(chunk_size)
+    if buffered:
+        flush(buffered)
+    return total
+
+
+def save_to_graphar(
+    pg,
+    output_dir: str,
+    *,
+    graph_name: str = "graph",
+    vertex_chunk_size: int = 1 << 18,
+    edge_chunk_size: int = 1 << 20,
+) -> str:
+    """Export a PropertyGraph as GraphAr v1 parquet. Returns the path of
+    the ``<name>.graph.yaml`` entry file (the reference returns the
+    ``graphar+file://`` URI of the same file)."""
+    import yaml
+
+    os.makedirs(output_dir, exist_ok=True)
+    key_arrays: dict[str, np.ndarray] = {}
+
+    vertex_ymls, edge_ymls = [], []
+    for lab in pg.vertex_labels:
+        ds, id_col = pg._v[lab]
+        schema = ds.schema()
+        props = []
+        for name, typ in zip(schema.names, schema.types):
+            props.append(
+                {"name": name, "data_type": _gar_type(typ),
+                 "is_primary": name == id_col}
+            )
+        vdir = os.path.join(output_dir, "vertex", lab)
+        n = _write_chunked(
+            ds.sort(id_col),
+            os.path.join(vdir, "group0"),
+            vertex_chunk_size,
+            lambda i: f"chunk{i}",
+        )
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, "vertex_count"), "w") as f:
+            f.write(str(n))
+        # sorted key array for edge-endpoint translation (broadcast once)
+        keys = np.sort(
+            np.concatenate(
+                [
+                    b.column(id_col).to_numpy(zero_copy_only=False)
+                    for b in ds.select_columns([id_col]).iter_batches(
+                        batch_size=1 << 20, batch_format="pyarrow"
+                    )
+                ]
+            ).astype(np.int64)
+        )
+        key_arrays[lab] = keys
+        vy = {
+            "label": lab,
+            "chunk_size": vertex_chunk_size,
+            "prefix": f"vertex/{lab}/",
+            "property_groups": [
+                {"file_type": "parquet", "prefix": "group0/",
+                 "properties": props}
+            ],
+            "version": GAR_VERSION,
+        }
+        yname = f"{lab}.vertex.yaml"
+        with open(os.path.join(output_dir, yname), "w") as f:
+            yaml.safe_dump(vy, f, sort_keys=False)
+        vertex_ymls.append(yname)
+
+    for elab in pg.edge_labels:
+        m = pg._e[elab]
+        sl, dl = m["src_label"], m["dst_label"]
+        wcol = m["weight_col"]
+        skeys_ref = ray.put(key_arrays[sl])
+        dkeys_ref = ray.put(key_arrays[dl])
+        scol, dcol = m["src_col"], m["dst_col"]
+
+        def to_internal(
+            t: pa.Table, sref=skeys_ref, dref=dkeys_ref, scol=scol,
+            dcol=dcol, wcol=wcol
+        ) -> pa.Table:
+            sk, dk = ray.get(sref), ray.get(dref)
+            s = t.column(scol).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t.column(dcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            si = np.searchsorted(sk, s)
+            di = np.searchsorted(dk, d)
+            if (si >= len(sk)).any() or (sk[np.minimum(si, len(sk) - 1)] != s).any():
+                raise ValueError(f"edge {scol} value missing from vertex label")
+            if (di >= len(dk)).any() or (dk[np.minimum(di, len(dk) - 1)] != d).any():
+                raise ValueError(f"edge {dcol} value missing from vertex label")
+            cols = {SRC_COL: pa.array(si, pa.int64()),
+                    DST_COL: pa.array(di, pa.int64())}
+            if wcol:
+                cols[wcol] = t.column(wcol)
+            return pa.table(cols)
+
+        cols = [scol, dcol] + ([wcol] if wcol else [])
+        internal = (
+            m["ds"].select_columns(cols)
+            .map_batches(to_internal, batch_format="pyarrow")
+            .sort([SRC_COL, DST_COL])
+        )
+        triple = f"{sl}_{elab}_{dl}"
+        edir = os.path.join(output_dir, "edge", triple, "ordered_by_source")
+        n_src = len(key_arrays[sl])
+        n_parts = max(1, -(-n_src // vertex_chunk_size))
+
+        # stream once, splitting rows into parts by src chunk
+        part_tables: list[list[pa.Table]] = [[] for _ in range(n_parts)]
+        for batch in internal.iter_batches(batch_size=edge_chunk_size,
+                                           batch_format="pyarrow"):
+            si = batch.column(SRC_COL).to_numpy(zero_copy_only=False)
+            pids = si // vertex_chunk_size
+            bounds = np.flatnonzero(np.r_[True, np.diff(pids) > 0])
+            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(pids)]):
+                part_tables[int(pids[b0])].append(batch.slice(b0, b1 - b0))
+
+        edge_props = (
+            [{"name": wcol, "data_type": "double", "is_primary": False}]
+            if wcol
+            else []
+        )
+        for i in range(n_parts):
+            pdir = os.path.join(edir, "adj_list", f"part{i}")
+            os.makedirs(pdir, exist_ok=True)
+            t = (
+                pa.concat_tables(part_tables[i])
+                if part_tables[i]
+                else pa.table(
+                    {SRC_COL: pa.array([], pa.int64()),
+                     DST_COL: pa.array([], pa.int64()),
+                     **({wcol: pa.array([], pa.float64())} if wcol else {})}
+                )
+            )
+            for j in range(max(1, -(-t.num_rows // edge_chunk_size))):
+                pq.write_table(
+                    t.slice(j * edge_chunk_size, edge_chunk_size),
+                    os.path.join(pdir, f"chunk{j}"),
+                )
+            with open(os.path.join(edir, f"edge_count{i}"), "w") as f:
+                f.write(str(t.num_rows))
+            # per-vertex cumulative offsets within this part
+            lo = i * vertex_chunk_size
+            nv = min(vertex_chunk_size, n_src - lo)
+            src = t.column(SRC_COL).to_numpy(zero_copy_only=False)
+            offs = np.searchsorted(src, np.arange(lo, lo + nv + 1))
+            odir = os.path.join(edir, "offset")
+            os.makedirs(odir, exist_ok=True)
+            pq.write_table(
+                pa.table({OFFSET_COL: pa.array(offs, pa.int64())}),
+                os.path.join(odir, f"chunk{i}"),
+            )
+
+        ey = {
+            "src_label": sl,
+            "edge_label": elab,
+            "dst_label": dl,
+            "chunk_size": edge_chunk_size,
+            "src_chunk_size": vertex_chunk_size,
+            "dst_chunk_size": vertex_chunk_size,
+            "directed": True,
+            "prefix": f"edge/{triple}/",
+            "adj_lists": [
+                {
+                    "ordered": True,
+                    "aligned_by": "src",
+                    "file_type": "parquet",
+                    "prefix": "ordered_by_source/",
+                    "properties": edge_props,
+                }
+            ],
+            "version": GAR_VERSION,
+        }
+        yname = f"{triple}.edge.yaml"
+        with open(os.path.join(output_dir, yname), "w") as f:
+            yaml.safe_dump(ey, f, sort_keys=False)
+        edge_ymls.append(yname)
+
+    gy = {
+        "name": graph_name,
+        "prefix": "./",
+        "vertices": vertex_ymls,
+        "edges": edge_ymls,
+        "version": GAR_VERSION,
+    }
+    entry = os.path.join(output_dir, f"{graph_name}.graph.yaml")
+    with open(entry, "w") as f:
+        yaml.safe_dump(gy, f, sort_keys=False)
+    return entry
+
+
+def load_graphar(entry_yaml: str):
+    """Restore a PropertyGraph from a GraphAr v1 directory written by
+    :func:`save_to_graphar` (reference Graph.load_from,
+    framework/graph.py:1339). Edge endpoints come back in the original
+    key space via the primary-key column of each vertex label."""
+    import yaml
+
+    from raylinkgraph.pipelines.property_graph import PropertyGraph
+
+    root = os.path.dirname(os.path.abspath(entry_yaml))
+    with open(entry_yaml) as f:
+        gy = yaml.safe_load(f)
+
+    pg = PropertyGraph()
+    pkeys: dict[str, tuple[str, np.ndarray]] = {}
+    for vy_name in gy["vertices"]:
+        with open(os.path.join(root, vy_name)) as f:
+            vy = yaml.safe_load(f)
+        lab = vy["label"]
+        group = vy["property_groups"][0]
+        gdir = os.path.join(root, vy["prefix"], group["prefix"])
+        chunks = sorted(
+            (os.path.join(gdir, c) for c in os.listdir(gdir)),
+            key=lambda p: int(os.path.basename(p)[5:]),
+        )
+        ds = rd.read_parquet(chunks, file_extensions=None)
+        id_col = next(
+            p["name"] for p in group["properties"] if p["is_primary"]
+        )
+        # internal-id -> key map: keys in chunk order ARE sorted order
+        keys = np.concatenate(
+            [
+                pq.read_table(c, columns=[id_col]).column(id_col).to_numpy(
+                    zero_copy_only=False
+                )
+                for c in chunks
+            ]
+        ).astype(np.int64)
+        pkeys[lab] = (id_col, keys)
+        pg.add_vertices(lab, ds, id_col)
+
+    for ey_name in gy["edges"]:
+        with open(os.path.join(root, ey_name)) as f:
+            ey = yaml.safe_load(f)
+        sl, dl, elab = ey["src_label"], ey["dst_label"], ey["edge_label"]
+        adir = os.path.join(
+            root, ey["prefix"], ey["adj_lists"][0]["prefix"], "adj_list"
+        )
+        files = []
+        for part in sorted(os.listdir(adir), key=lambda p: int(p[4:])):
+            pdir = os.path.join(adir, part)
+            files += sorted(
+                (os.path.join(pdir, c) for c in os.listdir(pdir)),
+                key=lambda p: int(os.path.basename(p)[5:]),
+            )
+        skeys_ref = ray.put(pkeys[sl][1])
+        dkeys_ref = ray.put(pkeys[dl][1])
+        props = [p["name"] for p in ey["adj_lists"][0]["properties"]]
+
+        def to_keys(t: pa.Table, sref=skeys_ref, dref=dkeys_ref,
+                    props=props) -> pa.Table:
+            sk, dk = ray.get(sref), ray.get(dref)
+            cols = {
+                "src_id": pa.array(
+                    sk[t.column(SRC_COL).to_numpy(zero_copy_only=False)],
+                    pa.int64(),
+                ),
+                "dst_id": pa.array(
+                    dk[t.column(DST_COL).to_numpy(zero_copy_only=False)],
+                    pa.int64(),
+                ),
+            }
+            for p in props:
+                cols[p] = t.column(p)
+            return pa.table(cols)
+
+        eds = rd.read_parquet(files, file_extensions=None).map_batches(
+            to_keys, batch_format="pyarrow"
+        )
+        pg.add_edges(
+            elab, eds, "src_id", "dst_id", src_label=sl, dst_label=dl,
+            weight_col=props[0] if props else None,
+        )
+    return pg
