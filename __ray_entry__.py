@@ -595,6 +595,26 @@ def q_graph_betweenness(sf_dir):
     ).sort_values("oid").reset_index(drop=True)
 
 
+def q_graph_betweenness64(sf_dir):
+    """64-source wave-packed Brandes (the full uint64 frontier word):
+    matrix state columns keep the column count constant in S — the
+    verdict-9 'source counts scale past ~8' case, hash-exact vs the
+    64-source unrolled SQL oracle."""
+    from raylinkgraph.algos.brandes import run_betweenness
+    from raylinkgraph.algos.centrality import smallest_oids
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    srcs = smallest_oids(g, 64)
+    bc = run_betweenness(g, workdir_for(sf_dir, "bc64"), srcs)
+    return pd.DataFrame(
+        {
+            "oid": bc["oid"].to_numpy(np.int64),
+            "bc_e5": np.floor(bc["bc"].to_numpy() * 1e5 + 0.5).astype(np.int64),
+        }
+    ).sort_values("oid").reset_index(drop=True)
+
+
 LPA_U2I_ROUNDS = 4
 
 
@@ -2540,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_wcc": q_pg_wcc,
         "pg_pagerank": q_pg_pagerank,
         "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
+        "graph_betweenness64": q_graph_betweenness64,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4344,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_sql(8, CLOSENESS_SRC),
         "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
+        "graph_betweenness64": _betweenness_sql(8, 64),
         "graph_scc": _scc_sql(4, 12),
         "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
         "graph_corenum": _corenum_sql(60),

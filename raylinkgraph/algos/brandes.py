@@ -1,4 +1,5 @@
-"""Betweenness centrality: multi-source Brandes as ONE BSP job pair.
+"""Betweenness centrality: multi-source Brandes as ONE BSP job pair,
+wave-packed.
 
 Reference: betweenness_centrality / betweenness_centrality_generic
 (.gs_conf.yaml:286-293, flash_bc yaml:573). Exact betweenness needs a
@@ -6,11 +7,15 @@ Brandes pass from EVERY vertex (O(V*E)); the production shape is the
 standard sampled-source estimate (NetworkX's ``k=`` parameter): run the
 phases from a deterministic source set and sum the dependencies.
 
-All S (<=32) sources run SIMULTANEOUSLY — state/message payloads carry
-one column per source (dist_i, sigma_i / val_i), so the whole sampled
-estimate costs one forward job (rounds = max BFS depth) plus one
-backward job (rounds = that depth) instead of 2*S jobs; per-round work
-is S bincounts over the same CSR gather.
+All S (<=64) sources run SIMULTANEOUSLY in the wave-packed layout (the
+MSBFS 64-bit-wave idea of centrality.py generalized to per-source float
+payloads): per-source quantities are (n, S) numpy matrices stored as
+ONE fixed-size-list state column each (dist, sigma, delta) instead of S
+scalar columns, and the frontier is ONE uint64 bitmask column (bit i =
+source i fresh). Message payloads are (m, S) matrices in a single
+fixed-size-list column. Column count is therefore constant in S; per
+round the whole source set costs one axis-0 ``reduceat`` over the same
+CSR gather.
 
 Phase 1 (forward): frontier BFS accumulating shortest-path counts — a
 vertex settled at round r gets sigma = sum of sigmas of its round-(r-1)
@@ -35,71 +40,73 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
-from raylinkgraph.bsp import Superstep
+from raylinkgraph.bsp import Superstep, _np_state_col
 from raylinkgraph.functions.hashing import partition_of
 from raylinkgraph.state import checkpoint as ckpt
 
 UNREACHED = np.iinfo(np.int64).max
+MAX_SOURCES = 64  # one uint64 frontier word
+
+
+def _bit_powers(S: int) -> np.ndarray:
+    return np.uint64(1) << np.arange(S, dtype=np.uint64)
 
 
 class BrandesForward(Superstep):
     name = "brfwd"
+    scalar_names = ["active"]
 
     def __init__(self, sources, max_rounds: int = 10_000):
         self.sources = [int(s) for s in sorted(sources)]
-        if len(self.sources) > 32:
-            raise ValueError("at most 32 simultaneous sources")
+        if len(self.sources) > MAX_SOURCES:
+            raise ValueError(f"at most {MAX_SOURCES} simultaneous sources")
         self.S = len(self.sources)
         self.max_rounds = int(max_rounds)
-        self.state_dtypes = {}
-        for i in range(self.S):
-            self.state_dtypes[f"dist_{i}"] = pa.int64()
-            self.state_dtypes[f"sigma_{i}"] = pa.float64()
-            self.state_dtypes[f"fresh_{i}"] = pa.bool_()
-        self.scatter_columns = list(self.state_dtypes)
-        self.msg_dtypes = {f"sig_{i}": pa.float64() for i in range(self.S)}
-
-    scalar_names = ["active"]
+        self.state_dtypes = {
+            "dist": pa.list_(pa.int64(), self.S),
+            "sigma": pa.list_(pa.float64(), self.S),
+            "freshw": pa.uint64(),
+        }
+        self.scatter_columns = ["dist", "sigma", "freshw"]
+        self.msg_dtypes = {"sig": pa.list_(pa.float64(), self.S)}
 
     def params(self) -> dict:
         return {"sources": self.sources, "max_rounds": self.max_rounds}
 
     def init(self, oids, out_deg):
-        n = len(oids)
-        state = {}
-        active = 0.0
+        n, S = len(oids), self.S
+        dist = np.full((n, S), UNREACHED, np.int64)
+        sigma = np.zeros((n, S))
+        freshw = np.zeros(n, np.uint64)
+        pw = _bit_powers(S)
         for i, s in enumerate(self.sources):
-            dist = np.full(n, UNREACHED)
-            sigma = np.zeros(n)
-            fresh = oids == s
-            dist[fresh] = 0
-            sigma[fresh] = 1.0
-            state[f"dist_{i}"] = dist
-            state[f"sigma_{i}"] = sigma
-            state[f"fresh_{i}"] = fresh
-            active += float(fresh.sum())
-        return state, {"active": active}
+            hit = oids == s
+            dist[hit, i] = 0
+            sigma[hit, i] = 1.0
+            freshw[hit] |= pw[i]
+        return (
+            {"dist": dist, "sigma": sigma, "freshw": freshw},
+            {"active": float(np.count_nonzero(freshw))},
+        )
 
     def scatter(self, state, block, scalars):
         nseg = len(block["udst_pos"])
         if nseg == 0:
             return
-        sums = {}
-        any_live = np.zeros(nseg, np.bool_)
-        for i in range(self.S):
-            fresh = state[f"fresh_{i}"][block["src_pos"]]
-            if not fresh.any():
-                sums[i] = None
-                continue
-            sig = np.where(fresh, state[f"sigma_{i}"][block["src_pos"]], 0.0)
-            per_edge = sig[block["src_code"]]
-            s = np.bincount(block["dst_code"], weights=per_edge, minlength=nseg)
-            sums[i] = s
-            any_live |= s > 0
+        fw = state["freshw"][block["src_pos"]]
+        if not fw.any():
+            return
+        # unpack the frontier word into a (n_src, S) mask, mask sigmas,
+        # gather per edge, segment-sum per unique destination
+        mask = (fw[:, None] >> np.arange(self.S, dtype=np.uint64)) & np.uint64(1)
+        sig = state["sigma"][block["src_pos"]] * mask
+        per_edge = sig[block["src_code"]]
+        sums = np.add.reduceat(per_edge, block["dst_ptr"][:-1], axis=0)
+        any_live = sums.any(axis=1)
         if not any_live.any():
             return
-        zeros = np.zeros(nseg)
         tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
         for q in range(len(tgt_ptr) - 1):
             lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
@@ -107,42 +114,42 @@ class BrandesForward(Superstep):
                 continue
             m = any_live[lo:hi]
             if m.any():
-                payload = {
-                    f"sig_{i}": (sums[i] if sums[i] is not None else zeros)[lo:hi][m]
-                    for i in range(self.S)
-                }
-                yield q, pos[lo:hi][m], payload
+                yield q, pos[lo:hi][m], {"sig": sums[lo:hi][m]}
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         r = int(scalars["_round"]) + 1
-        n = len(oids)
-        new_state = {}
+        n, S = len(oids), self.S
+        freshw = np.zeros(n, np.uint64)
         active = 0.0
+        dist, sigma = state["dist"], state["sigma"]
         pos = msgs["pos"]
-        agg = {}
         if len(pos):
             order = np.argsort(pos, kind="stable")
             ps = pos[order]
             starts = np.flatnonzero(np.r_[True, np.diff(ps) > 0])
             upos = ps[starts]
-            for i in range(self.S):
-                agg[i] = (upos, np.add.reduceat(msgs[f"sig_{i}"][order], starts))
-        for i in range(self.S):
-            dist = state[f"dist_{i}"].copy()
-            sigma = state[f"sigma_{i}"].copy()
-            fresh = np.zeros(n, np.bool_)
-            if i in agg:
-                upos, sums = agg[i]
-                new = (dist[upos] == UNREACHED) & (sums > 0)
-                up, sm = upos[new], sums[new]
-                dist[up] = r
-                sigma[up] = sm
-                fresh[up] = True
-                active += float(len(up))
-            new_state[f"dist_{i}"] = dist
-            new_state[f"sigma_{i}"] = sigma
-            new_state[f"fresh_{i}"] = fresh
-        return new_state, {"active": active}
+            sums = np.add.reduceat(
+                msgs["sig"].reshape(-1, S)[order], starts, axis=0
+            )
+            new = (dist[upos] == UNREACHED) & (sums > 0)
+            if new.any():
+                dist = dist.copy()
+                sigma = sigma.copy()
+                dsub, ssub = dist[upos], sigma[upos]
+                dsub[new] = r
+                ssub[new] = sums[new]
+                dist[upos] = dsub
+                sigma[upos] = ssub
+                # exact uint64 bit-pack (matmul would round through float64
+                # and corrupt bits >= 2^53)
+                freshw[upos] = (new.astype(np.uint64) * _bit_powers(S)).sum(
+                    axis=1, dtype=np.uint64
+                )
+                active = float(new.sum())
+        return (
+            {"dist": dist, "sigma": sigma, "freshw": freshw},
+            {"active": active},
+        )
 
     def converged(self, scalars, completed_rounds):
         if completed_rounds >= self.max_rounds:
@@ -162,13 +169,13 @@ class BrandesBackward(Superstep):
         self.maxlev = int(maxlev)
         self.sources = [int(s) for s in sorted(sources)]
         self.S = len(self.sources)
-        self.state_dtypes = {}
-        for i in range(self.S):
-            self.state_dtypes[f"dist_{i}"] = pa.int64()
-            self.state_dtypes[f"sigma_{i}"] = pa.float64()
-            self.state_dtypes[f"delta_{i}"] = pa.float64()
-        self.scatter_columns = list(self.state_dtypes)
-        self.msg_dtypes = {f"val_{i}": pa.float64() for i in range(self.S)}
+        self.state_dtypes = {
+            "dist": pa.list_(pa.int64(), self.S),
+            "sigma": pa.list_(pa.float64(), self.S),
+            "delta": pa.list_(pa.float64(), self.S),
+        }
+        self.scatter_columns = ["dist", "sigma", "delta"]
+        self.msg_dtypes = {"val": pa.list_(pa.float64(), self.S)}
 
     def params(self) -> dict:
         return {
@@ -180,45 +187,46 @@ class BrandesBackward(Superstep):
         }
 
     def init(self, oids, out_deg):
-        n = len(oids)
-        state = {}
+        n, S = len(oids), self.S
         if n == 0:
-            for i in range(self.S):
-                state[f"dist_{i}"] = np.zeros(0, np.int64)
-                state[f"sigma_{i}"] = np.zeros(0)
-                state[f"delta_{i}"] = np.zeros(0)
-            return state, {"touched": 0.0}
+            return (
+                {"dist": np.zeros((0, S), np.int64),
+                 "sigma": np.zeros((0, S)),
+                 "delta": np.zeros((0, S))},
+                {"touched": 0.0},
+            )
         pid = int(partition_of(oids[:1], self.P)[0])  # home pid of any oid
         t = ckpt.read_state(self.fwd_workdir, self.fwd_step, pid)
-        for i in range(self.S):
-            state[f"dist_{i}"] = t.column(f"dist_{i}").to_numpy(zero_copy_only=False).copy()
-            state[f"sigma_{i}"] = t.column(f"sigma_{i}").to_numpy(zero_copy_only=False).copy()
-            state[f"delta_{i}"] = np.zeros(n)
-        return state, {"touched": 0.0}
+        return (
+            {
+                "dist": _np_state_col(
+                    t.column("dist"), pa.list_(pa.int64(), S)
+                ).copy(),
+                "sigma": _np_state_col(
+                    t.column("sigma"), pa.list_(pa.float64(), S)
+                ).copy(),
+                "delta": np.zeros((n, S)),
+            },
+            {"touched": 0.0},
+        )
 
     def scatter(self, state, block, scalars):
         nseg = len(block["udst_pos"])
         if nseg == 0:
             return
         lev = self.maxlev - int(scalars["_round"])  # this round's sender level
-        sums = {}
-        any_live = np.zeros(nseg, np.bool_)
-        for i in range(self.S):
-            dist = state[f"dist_{i}"][block["src_pos"]]
-            send = dist == lev
-            if not send.any():
-                sums[i] = None
-                continue
-            sigma = state[f"sigma_{i}"][block["src_pos"]]
-            delta = state[f"delta_{i}"][block["src_pos"]]
-            contrib = np.where(send, (1.0 + delta) / np.where(send, sigma, 1.0), 0.0)
-            per_edge = contrib[block["src_code"]]
-            s = np.bincount(block["dst_code"], weights=per_edge, minlength=nseg)
-            sums[i] = s
-            any_live |= s != 0
+        dist = state["dist"][block["src_pos"]]
+        send = dist == lev
+        if not send.any():
+            return
+        sigma = state["sigma"][block["src_pos"]]
+        delta = state["delta"][block["src_pos"]]
+        contrib = np.where(send, (1.0 + delta) / np.where(send, sigma, 1.0), 0.0)
+        per_edge = contrib[block["src_code"]]
+        sums = np.add.reduceat(per_edge, block["dst_ptr"][:-1], axis=0)
+        any_live = sums.any(axis=1)
         if not any_live.any():
             return
-        zeros = np.zeros(nseg)
         tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
         for q in range(len(tgt_ptr) - 1):
             lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
@@ -226,11 +234,7 @@ class BrandesBackward(Superstep):
                 continue
             m = any_live[lo:hi]
             if m.any():
-                payload = {
-                    f"val_{i}": (sums[i] if sums[i] is not None else zeros)[lo:hi][m]
-                    for i in range(self.S)
-                }
-                yield q, pos[lo:hi][m], payload
+                yield q, pos[lo:hi][m], {"val": sums[lo:hi][m]}
 
     def apply(self, oids, out_deg, state, msgs, scalars):
         lev = self.maxlev - int(scalars["_round"])
@@ -238,19 +242,22 @@ class BrandesBackward(Superstep):
         touched = 0.0
         pos = msgs["pos"]
         if len(pos):
+            S = self.S
             order = np.argsort(pos, kind="stable")
             ps = pos[order]
             starts = np.flatnonzero(np.r_[True, np.diff(ps) > 0])
             upos = ps[starts]
-            for i in range(self.S):
-                sums = np.add.reduceat(msgs[f"val_{i}"][order], starts)
-                dist = state[f"dist_{i}"]
-                delta = state[f"delta_{i}"].copy()
-                ok = dist[upos] == lev - 1  # only the level directly above accepts
-                up, sm = upos[ok], sums[ok]
-                delta[up] += state[f"sigma_{i}"][up] * sm
-                new_state[f"delta_{i}"] = delta
-                touched += float(len(up))
+            sums = np.add.reduceat(
+                msgs["val"].reshape(-1, S)[order], starts, axis=0
+            )
+            dist, sigma = state["dist"], state["sigma"]
+            ok = dist[upos] == lev - 1  # only the level directly above accepts
+            if ok.any():
+                delta = state["delta"].copy()
+                dsub = delta[upos] + sigma[upos] * np.where(ok, sums, 0.0)
+                delta[upos] = dsub
+                new_state["delta"] = delta
+                touched = float(ok.sum())
         return new_state, {"touched": touched}
 
     def converged(self, scalars, completed_rounds):
@@ -260,7 +267,7 @@ class BrandesBackward(Superstep):
 def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
     """-> pandas (oid, bc): bc = sum over the sampled sources of Brandes
     dependencies (delta at each source itself excluded). One forward +
-    one backward BSP job for the whole source set.
+    one backward BSP job for the whole source set (up to 64 sources).
 
     Backward dependency messages travel along OUT edges, which is only
     correct when the graph is symmetric — guard like the sibling
@@ -277,6 +284,7 @@ def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
         from raylinkgraph.bsp import run_bsp as runner
 
     sources = [int(s) for s in sorted(sources)]
+    S = len(sources)
     fwd = runner(
         graph, BrandesForward(sources), os.path.join(workdir, "fwd"),
         max_rounds=10_000, keep_steps=1,
@@ -288,10 +296,23 @@ def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
         os.path.join(workdir, "back"),
         max_rounds=max(0, maxlev),
     )
-    df = back.state_pandas()
-    oid = df["oid"].to_numpy(np.int64)
-    bc = np.zeros(len(df))
-    for i, s in enumerate(sources):
-        d = df[f"delta_{i}"].to_numpy()
-        bc += np.where(oid == s, 0.0, d)
-    return pd.DataFrame({"oid": oid, "bc": bc})
+    # assemble bc from the per-partition final state (delta matrices)
+    sd = ckpt.step_dir(back.workdir, back.final_step)
+    oid_parts, bc_parts = [], []
+    for f in sorted(os.listdir(sd)):
+        if not (f.startswith("state-") and f.endswith(".parquet")):
+            continue
+        t = pq.read_table(os.path.join(sd, f), columns=["oid", "delta"])
+        oid = t.column("oid").to_numpy(zero_copy_only=False)
+        delta = _np_state_col(t.column("delta"), pa.list_(pa.float64(), S))
+        bc = delta.sum(axis=1)
+        for i, s in enumerate(sources):
+            hit = oid == s
+            if hit.any():
+                bc[hit] -= delta[hit, i]  # Brandes' w != s guard
+        oid_parts.append(oid)
+        bc_parts.append(bc)
+    out = pd.DataFrame(
+        {"oid": np.concatenate(oid_parts), "bc": np.concatenate(bc_parts)}
+    )
+    return out.sort_values("oid").reset_index(drop=True)

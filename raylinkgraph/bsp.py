@@ -156,6 +156,60 @@ def _list_np(col, flat_dtype) -> list[np.ndarray]:
     return [flat[offs[i] : offs[i + 1]] for i in range(len(col))]
 
 
+def _fsl_size(t: pa.DataType) -> int | None:
+    """list_size for fixed-size-list dtypes, else None. FSL state/message
+    columns let an algorithm carry a (n, S) matrix per quantity (e.g.
+    64-source Brandes) instead of S scalar columns — the wave-packed
+    layout; numpy side is always a 2D array."""
+    return t.list_size if pa.types.is_fixed_size_list(t) else None
+
+
+def _pa_state_col(arr: np.ndarray, t: pa.DataType) -> pa.Array:
+    S = _fsl_size(t)
+    if S is None:
+        return pa.array(arr, t)
+    flat = np.ascontiguousarray(arr).reshape(-1)
+    return pa.FixedSizeListArray.from_arrays(pa.array(flat, t.value_type), S)
+
+
+def _np_state_col(col, t: pa.DataType) -> np.ndarray:
+    """Inverse of _pa_state_col; tolerant of parquet round-tripping FSL
+    as plain list (flatten() respects offsets on both)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    S = _fsl_size(t)
+    if S is None:
+        return col.to_numpy(zero_copy_only=False)
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, S)
+
+
+def _build_msg_col(chunks: list[np.ndarray], t: pa.DataType) -> pa.Array:
+    """list of per-yield payload arrays -> large_list(t) column."""
+    S = _fsl_size(t)
+    if S is None:
+        return pa.array(chunks, pa.large_list(t))
+    lens = [len(c) for c in chunks]
+    flat = (
+        np.concatenate([np.ascontiguousarray(c).reshape(-1) for c in chunks])
+        if chunks
+        else np.array([], dtype=np.float64)
+    )
+    values = pa.FixedSizeListArray.from_arrays(pa.array(flat, t.value_type), S)
+    offsets = pa.array(np.r_[0, np.cumsum(lens)].astype(np.int64), pa.int64())
+    return pa.LargeListArray.from_arrays(offsets, values)
+
+
+def _flat_msg_np(col, t: pa.DataType) -> np.ndarray:
+    """large_list(t) column -> flat numpy ((M,) scalars or (M, S) FSL)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.flatten()
+    S = _fsl_size(t)
+    if S is None:
+        return v.to_numpy(zero_copy_only=False)
+    return v.flatten().to_numpy(zero_copy_only=False).reshape(-1, S)
+
+
 def _msg_schema(algo: Superstep) -> pa.Schema:
     # messages address receivers by POSITION in the target partition's
     # sorted oid array (precomputed at CSR build) — int32, no per-round
@@ -262,7 +316,7 @@ def _run_init(graph: LinkGraph, algo: Superstep, workdir: str, scalar_names) -> 
             state, partials = algo.init(oids, deg)
             cols = {"oid": pa.array(oids, pa.int64())}
             for k, t in algo.state_dtypes.items():
-                cols[k] = pa.array(state[k], t)
+                cols[k] = _pa_state_col(state[k], t)
             ckpt.write_state(workdir, 0, pid, pa.table(cols))
             out["pid"].append(pid)
             for k in scalar_names:
@@ -305,7 +359,7 @@ def _load_hydrated(algo: Superstep, workdir: str, step: int, pid: int,
     avail = set(pq.read_schema(path).names)
     cols = [c for c in algo.state_dtypes if c in avail]
     t = pq.read_table(path, columns=cols)
-    state = {c: _np(t.column(c)) for c in cols}
+    state = {c: _np_state_col(t.column(c), algo.state_dtypes[c]) for c in cols}
     vs = pq.read_table(
         os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
     )
@@ -340,7 +394,10 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict,
             if st is None:
                 try:
                     t = ckpt.read_state(workdir, step, pid, columns=scatter_cols)
-                    st = {c: _np(t.column(c)) for c in scatter_cols}
+                    st = {
+                        c: _np_state_col(t.column(c), algo.state_dtypes[c])
+                        for c in scatter_cols
+                    }
                 except Exception:  # reduced checkpoint: hydrate
                     full = _load_hydrated(algo, workdir, step, pid, graph_dir)
                     st = {c: full[c] for c in scatter_cols}
@@ -365,7 +422,7 @@ def _make_scatter(algo: Superstep, workdir: str, step: int, scalars: dict,
         cols = {"pid": pa.array(np.asarray(out["pid"], np.int32), pa.int32())}
         cols["pos"] = pa.array(out["pos"], pa.large_list(pa.int32()))
         for k in payload_names:
-            cols[k] = pa.array(out[k], pa.large_list(algo.msg_dtypes[k]))
+            cols[k] = _build_msg_col(out[k], algo.msg_dtypes[k])
         return pa.table(cols, schema=msg_schema)
 
     return scatter_batch
@@ -390,10 +447,7 @@ def _make_apply(
             pos_col = pos_col.combine_chunks()
         msgs = {"pos": pos_col.values.to_numpy(zero_copy_only=False)}
         for k in payload_names:
-            c = g.column(k)
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            msgs[k] = c.values.to_numpy(zero_copy_only=False)
+            msgs[k] = _flat_msg_np(g.column(k), algo.msg_dtypes[k])
         vs = pq.read_table(
             os.path.join(graph_dir, "vertexstate", f"vertexstate-{pid:05d}.parquet")
         )
@@ -401,17 +455,20 @@ def _make_apply(
         deg = _np(vs.column("out_deg"))
         old_t = ckpt.read_state(workdir, step, pid)
         if all(c in old_t.column_names for c in state_names):
-            old = {c: _np(old_t.column(c)) for c in state_names}
+            old = {
+                c: _np_state_col(old_t.column(c), algo.state_dtypes[c])
+                for c in state_names
+            }
         else:  # reduced checkpoint: hydrate the derived columns
             old = algo.rehydrate(
-                {c: _np(old_t.column(c)) for c in state_names
-                 if c in old_t.column_names},
+                {c: _np_state_col(old_t.column(c), algo.state_dtypes[c])
+                 for c in state_names if c in old_t.column_names},
                 oids, deg,
             )
         new_state, partials = algo.apply(oids, deg, old, msgs, scalars)
         cols = {"oid": pa.array(oids, pa.int64())}
         for k, t in algo.state_dtypes.items():
-            cols[k] = pa.array(new_state[k], t)
+            cols[k] = _pa_state_col(new_state[k], t)
         ckpt.write_state(workdir, next_step, pid, pa.table(cols))
         return pa.table(
             {

@@ -101,10 +101,13 @@ class _Worker:
         return merged
 
     def load_state(self, workdir: str, step: int) -> None:
+        from raylinkgraph.bsp import _np_state_col
+
         for pid, p in self.parts.items():
             t = ckpt.read_state(workdir, step, pid)
             p.state = {
-                k: _np(t.column(k)) for k in self.state_dtypes
+                k: _np_state_col(t.column(k), self.state_dtypes[k])
+                for k in self.state_dtypes
                 if k in t.column_names
             }
             if len(p.state) != len(self.state_dtypes):
@@ -119,6 +122,8 @@ class _Worker:
         cols = {}
         if not getattr(self.algo, "ckpt_implicit_oid", False):
             cols["oid"] = pa.array(p.oids, pa.int64())
+        from raylinkgraph.bsp import _pa_state_col
+
         for k, t in self.state_dtypes.items():
             if k not in skip:
                 arr = state[k]
@@ -128,7 +133,7 @@ class _Worker:
                     # in-place update from a future superstep now raises
                     # instead of persisting a corrupted checkpoint
                     arr.setflags(write=False)
-                cols[k] = pa.array(arr, t)
+                cols[k] = _pa_state_col(arr, t)
         return pa.table(cols)
 
     def _write_ckpt(self, workdir: str, step: int, pid: int) -> None:

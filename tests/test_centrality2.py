@@ -120,3 +120,32 @@ def test_betweenness_full_vs_networkx(setup, tmp_root):
     # sanity against nx on the full source set when V <= 32 is not given;
     # here just assert nonzero structure
     assert (got["bc"] > 0).any()
+
+
+def test_betweenness_64_sources_wave_packed(setup, tmp_root):
+    """One full 64-wide wave (the wave-packed layout's headline case:
+    matrix state columns + one uint64 frontier word — column count does
+    not grow with S)."""
+    import pandas as pd
+
+    g, G = setup
+    srcs = sorted(G.nodes())[:64]
+    got = run_betweenness(g, os.path.join(tmp_root, "ck-bc64"), srcs)
+    want = _brandes_ref(
+        pd.DataFrame([(u, v) for u, v in G.edges()],
+                     columns=["src_id", "dst_id"]),
+        srcs,
+    )
+    for _, row in got.iterrows():
+        assert abs(row["bc"] - want.get(int(row["oid"]), 0.0)) < 1e-9, row["oid"]
+
+
+def test_betweenness_64_actor_engine_equal(setup, tmp_root):
+    g, G = setup
+    srcs = sorted(G.nodes())[:64]
+    a = run_betweenness(g, os.path.join(tmp_root, "ck-bc64d"), srcs)
+    b = run_betweenness(
+        g, os.path.join(tmp_root, "ck-bc64a"), srcs, engine="actors"
+    )
+    assert (a["oid"].to_numpy() == b["oid"].to_numpy()).all()
+    assert np.allclose(a["bc"].to_numpy(), b["bc"].to_numpy(), atol=0, rtol=0)
