@@ -682,33 +682,39 @@ def q_graph_apsp(sf_dir):
     """all_pairs_shortest_path_length (apsp, yaml:220) bounded to a
     deterministic source sample (64 smallest ids) on the induced pps
     subgraph — the full all-pairs product is O(V^2) rows by definition;
-    the source-bounded shape is what survives at scale. Two 32-wide
-    multi-source BFS waves (BrandesForward's dist columns), melted to
-    (src, oid, dist) pairs."""
+    the source-bounded shape is what survives at scale. One wave-packed
+    64-wide multi-source BFS (BrandesForward's matrix dist column),
+    melted to (src, oid, dist) pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
     from raylinkgraph.algos.brandes import UNREACHED, BrandesForward
     from raylinkgraph.algos.centrality import smallest_oids
-    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.bsp import _np_state_col, run_bsp
     from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+    from raylinkgraph.state import checkpoint as _ckpt
 
     g = get_graph(sf_dir, "pps")
-    srcs = smallest_oids(g, APSP_SRC)
+    srcs = sorted(int(s) for s in smallest_oids(g, APSP_SRC))
+    res = run_bsp(
+        g, BrandesForward(srcs), workdir_for(sf_dir, "apsp"), max_rounds=10_000
+    )
+    sd = _ckpt.step_dir(res.workdir, res.final_step)
     frames = []
-    for w, lo in enumerate(range(0, len(srcs), 32)):
-        wave = [int(s) for s in srcs[lo : lo + 32]]
-        res = run_bsp(
-            g, BrandesForward(wave),
-            workdir_for(sf_dir, f"apsp-w{w}"), max_rounds=10_000,
-        )
-        st = res.state_pandas()
-        for i, s in enumerate(sorted(wave)):
-            d = st[f"dist_{i}"].to_numpy(np.int64)
-            fin = d != UNREACHED
+    for f in sorted(os.listdir(sd)):
+        if not (f.startswith("state-") and f.endswith(".parquet")):
+            continue
+        t = _pq.read_table(os.path.join(sd, f), columns=["oid", "dist"])
+        oid = t.column("oid").to_numpy(zero_copy_only=False)
+        dist = _np_state_col(t.column("dist"), pa.list_(pa.int64(), len(srcs)))
+        for i, s in enumerate(srcs):
+            fin = dist[:, i] != UNREACHED
             frames.append(
                 pd.DataFrame(
                     {
                         "src": np.full(int(fin.sum()), s, np.int64),
-                        "oid": st["oid"].to_numpy(np.int64)[fin],
-                        "dist": d[fin],
+                        "oid": oid[fin],
+                        "dist": dist[fin, i],
                     }
                 )
             )
