@@ -663,6 +663,40 @@ def q_graph_louvain(sf_dir):
     return df
 
 
+def q_graph_louvain_multilevel(sf_dir):
+    """FULL multilevel Louvain (levels="auto": coarsen until the
+    composed partition's modularity gain < tol, reference
+    pregel/louvain coarsen-until-converged semantics) on the pp
+    co-order graph; rows-only driver check — the auto-termination
+    contract (best-seen partition, >= fixed-2-level modularity) is
+    pinned by tests/test_louvain.py::test_louvain_auto_multilevel."""
+    from raylinkgraph.algos.louvain import run_louvain
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    import json
+
+    g = get_graph(sf_dir, "pps")
+    wd = workdir_for(sf_dir, "louvain_ml")
+    cache = os.path.join(wd, "result.json")
+    spec = {"rounds": 2, "levels": "auto", "tol": 1e-5,
+            "digest": g.digest()}
+    if os.path.exists(cache):
+        with open(cache) as f:
+            saved = json.load(f)
+        if saved["spec"] == spec:
+            df = pd.DataFrame(saved["rows"])
+            return df.astype({"oid": np.int64, "comm": np.int64,
+                              "modularity_e6": np.int64})
+    comm, q = run_louvain(g, wd, rounds=spec["rounds"], levels="auto",
+                          tol=spec["tol"], max_levels=8)
+    df = comm.to_pandas().sort_values("v").reset_index(drop=True)
+    df["modularity_e6"] = _rank_e6(np.full(len(df), q))
+    df = df[["v", "comm", "modularity_e6"]].rename(columns={"v": "oid"})
+    with open(cache, "w") as f:
+        json.dump({"spec": spec, "rows": df.to_dict("list")}, f)
+    return df
+
+
 def q_graph_scc(sf_dir):
     """Strongly connected components on the cyclic customer<->part graph
     (customer->part when ordered, part->customer when returned);
@@ -2567,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pagerank": q_pg_pagerank,
         "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
         "graph_betweenness64": q_graph_betweenness64,
+        "graph_louvain_multilevel": q_graph_louvain_multilevel,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,

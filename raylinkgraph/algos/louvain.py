@@ -1,5 +1,8 @@
 """Louvain community detection: deterministic synchronous local moving
-plus one coarsening level, composed from Ray Data shuffles.
+plus multilevel coarsening, composed from Ray Data shuffles. Levels are
+either a fixed count (pinned spec, reproducible tests) or "auto" — the
+full multilevel loop that keeps coarsening until the composed
+partition's modularity gain drops below tol.
 
 Reference: gs::LouvainAppBase (analytical_engine/apps/pregel/louvain/
 louvain_app_base.h, .gs_conf.yaml:206). Pinned spec (deterministic —
@@ -282,10 +285,20 @@ def modularity(edges: rd.Dataset, comm: rd.Dataset, B: int = 32) -> float:
     return w_in / m2 - a_sq
 
 
-def run_louvain(graph, workdir: str, *, rounds: int = 4, levels: int = 2,
-                B: int | None = None):
+def run_louvain(graph, workdir: str, *, rounds: int = 4,
+                levels: int | str = 2, B: int | None = None,
+                tol: float = 1e-4, max_levels: int = 10):
     """-> (comm Dataset (v, comm), modularity float). Graph must be
-    symmetrized; unweighted graphs get w = 1 per directed edge."""
+    symmetrized; unweighted graphs get w = 1 per directed edge.
+
+    levels: fixed int (pinned-spec mode, default 2 for test
+    reproducibility) or "auto" = FULL multilevel Louvain (reference
+    semantics, pregel/louvain/louvain.h coarsen-until-converged loop):
+    keep coarsening + local-moving until the composed mapping's
+    modularity (measured against the ORIGINAL level-0 edges, one
+    distributed fold per level) improves by < tol, up to max_levels.
+    A level that does not improve modularity is rolled back, so the
+    returned partition is the best one seen."""
     if not graph.meta.get("symmetrize"):
         raise ValueError("louvain requires a symmetrized graph")
     B = B or graph.P
@@ -309,7 +322,10 @@ def run_louvain(graph, workdir: str, *, rounds: int = 4, levels: int = 2,
     final = mapping
     cur_edges = edges
     ecols = {"src": "int64", "dst": "int64", "w": "float64"}
-    for lvl in range(1, levels):
+    auto = levels == "auto"
+    n_levels = max_levels if auto else int(levels)
+    q_best = modularity(edges, final, B) if auto else None
+    for lvl in range(1, n_levels):
         commf = mapping.map_batches(
             lambda b: b.assign(commf=b["comm"].astype(np.float64)), batch_format="pandas"
         )
@@ -348,7 +364,7 @@ def run_louvain(graph, workdir: str, *, rounds: int = 4, levels: int = 2,
         c2 = mapping2.map_batches(
             lambda b: b.assign(commf=b["comm"].astype(np.float64)), batch_format="pandas"
         )
-        final = _persist(
+        new_final = _persist(
             _attach(
                 final.map_batches(
                     lambda b: pd.DataFrame(
@@ -367,6 +383,21 @@ def run_louvain(graph, workdir: str, *, rounds: int = 4, levels: int = 2,
             ),
             os.path.join(workdir, f"final{lvl}"),
         )
-        mapping = final
-    q = modularity(edges, final, B)
+        if auto:
+            # full-multilevel termination: one distributed modularity
+            # fold per level against the ORIGINAL edges; keep the best
+            # partition seen and stop once the gain drops below tol
+            q_new = modularity(edges, new_final, B)
+            gain = q_new - q_best
+            if q_new > q_best:
+                final, q_best = new_final, q_new
+            if gain < tol:
+                break
+        else:
+            final = new_final
+        # next level coarsens cur_edges, whose node ids are THIS level's
+        # supernode ids — so the level-local mapping2, not the composed
+        # original-vertex mapping, is what the next coarsen must join on
+        mapping = mapping2
+    q = q_best if auto else modularity(edges, final, B)
     return final, q

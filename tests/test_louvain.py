@@ -127,3 +127,42 @@ def test_louvain_planted_partition(ray_session, tmp_root):
         members = got[(got["v"] >= b * 20) & (got["v"] < (b + 1) * 20)]
         top = members["comm"].value_counts().iloc[0]
         assert top >= 0.8 * len(members), (b, members["comm"].value_counts())
+
+
+def test_louvain_auto_multilevel(ray_session, tmp_root):
+    """levels="auto" (full multilevel): terminates, returns the best
+    partition seen, and is at least as good as the fixed-2-level run
+    on a graph with nested community structure (8 small blocks that
+    pairwise merge into 4 super-blocks — needs >1 coarsening to see)."""
+    rng = np.random.Generator(np.random.Philox(key=[77, 0]))
+    rows = []
+    for b in range(8):  # 8 tight blocks of 10
+        members = np.arange(b * 10, (b + 1) * 10)
+        for _ in range(90):
+            u, v = rng.choice(members, 2, replace=False)
+            rows.append((u, v))
+    for sb in range(4):  # pair 2b,2b+1 with medium coupling
+        left = np.arange(sb * 20, sb * 20 + 10)
+        right = np.arange(sb * 20 + 10, sb * 20 + 20)
+        for _ in range(25):
+            rows.append((rng.choice(left), rng.choice(right)))
+    for _ in range(12):  # sparse global noise
+        u, v = rng.choice(80, 2, replace=False)
+        rows.append((u, v))
+    edges = pd.DataFrame(rows, columns=["src_id", "dst_id"])
+    g = LinkGraph.build(
+        rd.from_pandas(edges), os.path.join(tmp_root, "g-louv-auto"), P=4,
+        symmetrize=True,
+    )
+    _, q2 = run_louvain(
+        g, os.path.join(tmp_root, "ck-louv-2"), rounds=3, levels=2
+    )
+    comm_ds, qa = run_louvain(
+        g, os.path.join(tmp_root, "ck-louv-auto"), rounds=3, levels="auto",
+        tol=1e-6, max_levels=6,
+    )
+    assert qa >= q2 - 1e-12, (qa, q2)
+    assert qa > 0.4, qa
+    got = comm_ds.to_pandas()
+    assert set(got["v"]) == set(range(80))
+    assert got["comm"].nunique() <= 12, got["comm"].nunique()
