@@ -163,6 +163,18 @@ def run_bench() -> dict:
     ray.get([w.ping.remote() for w in warm])
     for w in warm:
         ray.kill(w)
+    # wait for the killed actors' CPU tokens to be RETURNED before any
+    # timed stage: ray.kill is async and Ray's accounting has been seen
+    # to hand tokens back late (or, once, not at all — which starved the
+    # 32nd BSP worker and hung the whole bench); the BSP engine now also
+    # self-heals, but the bench should start each stage from a clean
+    # token pool so timings are comparable
+    t0 = time.time()
+    while (
+        ray.available_resources().get("CPU", 0) < NUM_CPUS
+        and time.time() - t0 < 30
+    ):
+        time.sleep(0.25)
 
     # ---- pipeline build (extract -> edges -> CSR) -----------------------
     run_tag = f"{n_pages}-c{NUM_CPUS}-{int(time.time())}"

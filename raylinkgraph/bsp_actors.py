@@ -241,9 +241,23 @@ class _Worker:
         return merged
 
 
-def _default_workers(P: int) -> int:
-    avail = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(P, avail))
+def _default_workers(P: int, wait_s: float = 15.0) -> int:
+    """W = min(P, CPUs we can actually get). Sized from AVAILABLE (not
+    total) CPUs: upstream Ray Data actor pools wind down asynchronously
+    and Ray's accounting has been observed to permanently leak a token
+    after ray.kill of a just-created actor — sizing W to the total
+    budget then makes the W-th actor creation infeasible and the job
+    hangs forever (observed live: 31/32 workers created, available=0,
+    driver blocked in ray.get). Wait briefly for the full budget to
+    come back, then take what is actually free; results are
+    W-invariant, so running with fewer workers only changes speed."""
+    budget = int(ray.cluster_resources().get("CPU", 4))
+    deadline = time.time() + wait_s
+    avail = ray.available_resources().get("CPU", 0.0)
+    while avail < budget and time.time() < deadline:
+        time.sleep(0.25)
+        avail = ray.available_resources().get("CPU", 0.0)
+    return max(1, min(P, int(avail)))
 
 
 def run_bsp_actors(
@@ -274,15 +288,34 @@ def run_bsp_actors(
     scalar_names = list(algo.scalar_names)
     history: list[dict] = []
 
-    assignment = [[pid for pid in range(P) if pid % W == w] for w in range(W)]
-    workers = [
-        _Worker.options(num_cpus=1).remote(
-            graph.graph_dir, pids, algo.state_dtypes
-        )
-        for pids in assignment
-        if pids
-    ]
-    ray.get([w.set_algo.remote(algo) for w in workers])
+    while True:
+        assignment = [
+            [pid for pid in range(P) if pid % W == w] for w in range(W)
+        ]
+        workers = [
+            _Worker.options(num_cpus=1).remote(
+                graph.graph_dir, pids, algo.state_dtypes
+            )
+            for pids in assignment
+            if pids
+        ]
+        try:
+            # a creation that cannot be scheduled (leaked CPU token, a
+            # stage that never released its pool) would block forever;
+            # time out, shrink W to what is demonstrably free, retry
+            ray.get([w.set_algo.remote(algo) for w in workers],
+                    timeout=120)
+            break
+        except ray.exceptions.GetTimeoutError:
+            for w in workers:
+                ray.kill(w)
+            free = int(ray.available_resources().get("CPU", 1))
+            if W <= 1:
+                raise RuntimeError(
+                    "BSP worker creation timed out even at W=1 "
+                    f"(available CPU={free}); cluster is wedged"
+                )
+            W = max(1, min(W - 1, free))
 
     start = ckpt.latest_complete_step(workdir, algo.name, params, digest, P) if resume else None
     if start is not None:
