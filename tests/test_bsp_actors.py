@@ -104,3 +104,32 @@ def test_worker_count_invariance(graphs, tmp_root):
                            max_rounds=10_000, num_workers=w)
         wc.append(r.state_pandas())
     assert np.array_equal(wc[0]["comp"].to_numpy(), wc[1]["comp"].to_numpy())
+
+
+def test_default_workers_sized_from_available(ray_session):
+    """W must come from AVAILABLE CPUs, not the total budget: a stage
+    that never released its pool (or Ray's observed post-ray.kill token
+    leak) would otherwise make the W-th actor creation infeasible and
+    hang run_bsp_actors forever. With hostages holding tokens,
+    _default_workers must settle for what is actually free."""
+    import ray
+
+    from raylinkgraph.bsp_actors import _default_workers
+
+    budget = int(ray.cluster_resources().get("CPU", 0))
+    assert _default_workers(1000, wait_s=0.5) == min(1000, budget)
+
+    @ray.remote(num_cpus=1)
+    class Hostage:
+        def ping(self):
+            return 1
+
+    hostages = [Hostage.remote() for _ in range(2)]
+    ray.get([h.ping.remote() for h in hostages])
+    try:
+        w = _default_workers(1000, wait_s=1.0)
+        assert w == budget - 2, (w, budget)
+        assert _default_workers(1, wait_s=0.5) == 1
+    finally:
+        for h in hostages:
+            ray.kill(h)
