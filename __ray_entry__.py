@@ -1480,6 +1480,17 @@ def q_doc_char_stats(sf_dir):
     return char_stats(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_repetition_stats(sf_dir):
+    """Gopher-style intra-doc repetition filter (dup-word mass + top-word
+    share, e6-quantized, zero-shuffle); exact DuckDB oracle."""
+    from raylinkgraph.functions.textops import word_repetition_stats
+
+    return (
+        word_repetition_stats(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_doc_lang_distribution(sf_dir):
     from raylinkgraph.functions.textops import lang_distribution
 
@@ -2602,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
         "graph_betweenness64": q_graph_betweenness64,
         "graph_louvain_multilevel": q_graph_louvain_multilevel,
+        "doc_repetition_stats": q_doc_repetition_stats,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4595,6 +4607,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_lang_distribution": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_repetition_stats": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w), "
+            "per AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS topc "
+            "FROM cnt GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(d AS BIGINT) AS distinct_words, "
+            "CAST(floor((1.0 - CAST(d AS DOUBLE)/CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS dup_frac_e6, "
+            "CAST(floor((CAST(topc AS DOUBLE)/CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS top_word_frac_e6, "
+            "CASE WHEN CAST(floor((1.0 - CAST(d AS DOUBLE)/CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) <= 800000 "
+            "AND CAST(floor((CAST(topc AS DOUBLE)/CAST(n AS DOUBLE))*1000000 + 0.5) AS BIGINT) <= 300000 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep "
+            "FROM per ORDER BY doc_id"
         ),
         "doc_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"

@@ -44,6 +44,60 @@ def token_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return docs.map_batches(f, batch_format="pandas")
 
 
+def word_repetition_stats(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    dup_keep_e6: int = 800_000, top_keep_e6: int = 300_000,
+) -> rd.Dataset:
+    """Gopher-style intra-document repetition filter (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition heuristics):
+    per document over words = text split on a single space —
+
+      n_words, distinct_words,
+      dup_frac_e6  = round_e6(1 - distinct/n)   (duplicate-word mass)
+      top_word_frac_e6 = round_e6(max word count / n)
+      keep = dup_frac_e6 <= dup_keep_e6 AND top_word_frac_e6 <= top_keep_e6
+
+    Zero shuffle: one stateless vectorized map_batches — every stat is
+    local to its document, so this streams at any corpus size. The _e6
+    quantization uses only exactly-rounded IEEE ops (one divide, one
+    multiply, floor), so the DuckDB oracle is value-hash exact, and the
+    keep flag compares the *quantized integers* so no float sits on a
+    threshold boundary. Word split matches DuckDB string_split(text,
+    ' ') exactly (empty strings from runs of spaces count as words)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch[text_col].str.split(" ", regex=False)
+        lens = lists.str.len().to_numpy(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        words = np.concatenate(lists.to_numpy()) if len(lens) else np.array([], object)
+        order = np.lexsort((words, doc_idx))
+        di, wo = doc_idx[order], words[order]
+        new = np.r_[True, (di[1:] != di[:-1]) | (wo[1:] != wo[:-1])] \
+            if len(di) else np.array([], bool)
+        distinct = np.bincount(di[new], minlength=len(lens)).astype(np.int64)
+        # run lengths of equal (doc, word) = per-word counts; max per doc
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        top = np.zeros(len(lens), np.int64)
+        np.maximum.at(top, di[new], run_len)
+        n = lens.astype(np.float64)
+        dup_e6 = np.floor((1.0 - distinct / n) * 1e6 + 0.5).astype(np.int64)
+        top_e6 = np.floor((top / n) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "n_words": lens,
+                "distinct_words": distinct,
+                "dup_frac_e6": dup_e6,
+                "top_word_frac_e6": top_e6,
+                "keep": ((dup_e6 <= dup_keep_e6) & (top_e6 <= top_keep_e6))
+                .astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def char_stats(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """(doc_id, n_chars, n_tokens, n_punct, n_digits) — all SQL-expressible
     so the DuckDB oracle can verify them exactly."""

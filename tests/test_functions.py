@@ -416,3 +416,33 @@ def test_bottom_k_sample_tie_break_is_partition_invariant(ray_session):
     a = bottom_k_sample(rd.from_pandas(df).repartition(1), "id", 4, columns=["v"])
     b = bottom_k_sample(rd.from_pandas(df).repartition(5), "id", 4, columns=["v"])
     assert sorted(a["id"]) == sorted(b["id"])
+
+
+def test_word_repetition_stats_pinned(ray_session):
+    """Hand-computed Gopher-style repetition stats, including the
+    double-space empty-word convention (matches string_split) and the
+    quantized keep flag."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import word_repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a a a b",          # n=4 d=2 dup=.5 top=3/4
+                "x y z w",          # n=4 d=4 dup=0  top=1/4
+                "p  p",             # split(' ') -> [p, '', p]: n=3 d=2
+            ],
+        }
+    )
+    out = (
+        word_repetition_stats(rd.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [4, 4, 3]
+    assert out["distinct_words"].tolist() == [2, 4, 2]
+    assert out["dup_frac_e6"].tolist() == [500000, 0, 333333]
+    assert out["top_word_frac_e6"].tolist() == [750000, 250000, 666667]
+    # keep: dup<=0.8 AND top<=0.3 (quantized ints) -> only doc 2 survives
+    assert out["keep"].tolist() == [0, 1, 0]
