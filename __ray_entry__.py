@@ -1491,6 +1491,40 @@ def q_doc_repetition_stats(sf_dir):
     )
 
 
+# eval-decontamination probe set (word 3-grams over the synthetic vocab;
+# the constant is shared verbatim by the engine and the SQL oracle)
+DECON_PROBES = [
+    "key agg row",
+    "batch window spark",
+    "slow fast table",
+    "table part a",
+    "value table part",
+    "scan group big",
+]
+
+
+def q_doc_decontaminate(sf_dir):
+    """Benchmark-leak filter: flag docs containing any probe 3-gram as
+    consecutive words; exact LIKE-replayable oracle."""
+    from raylinkgraph.functions.textops import decontaminate
+
+    return (
+        decontaminate(_docs(sf_dir), DECON_PROBES)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_doc_dup_ngram_mass(sf_dir):
+    """CCNet/C4-style per-doc corpus-duplication signal: fraction of a
+    doc's distinct word 3-grams that occur in >= 2 documents."""
+    from raylinkgraph.functions.textops import dup_ngram_mass
+
+    return (
+        dup_ngram_mass(_docs(sf_dir), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_doc_lang_distribution(sf_dir):
     from raylinkgraph.functions.textops import lang_distribution
 
@@ -2614,6 +2648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness64": q_graph_betweenness64,
         "graph_louvain_multilevel": q_graph_louvain_multilevel,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_dup_ngram_mass": q_doc_dup_ngram_mass,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4607,6 +4643,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_lang_distribution": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_decontaminate": (
+            "SELECT doc_id, ("
+            + " + ".join(
+                "CASE WHEN ' ' || text || ' ' LIKE '% " + p + " %' "
+                "THEN 1 ELSE 0 END"
+                for p in DECON_PROBES
+            )
+            + ") :: BIGINT AS n_probes_hit, "
+            "CASE WHEN ("
+            + " + ".join(
+                "CASE WHEN ' ' || text || ' ' LIKE '% " + p + " %' "
+                "THEN 1 ELSE 0 END"
+                for p in DECON_PROBES
+            )
+            + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
+            "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_dup_ngram_mass": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "ix AS (SELECT doc_id, ws, "
+            "unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM d), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram "
+            "FROM ix WHERE i + 2 <= len(ws)), "
+            "dd AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram), "
+            "per AS (SELECT g.doc_id, COUNT(*) AS ng, "
+            "SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS dup "
+            "FROM g JOIN dd USING (gram) GROUP BY g.doc_id) "
+            "SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, "
+            "CAST(dup AS BIGINT) AS dup_grams, "
+            "CAST(floor((CAST(dup AS DOUBLE)/CAST(ng AS DOUBLE))*1000000 "
+            "+ 0.5) AS BIGINT) AS dup_frac_e6 "
+            "FROM per ORDER BY doc_id"
         ),
         "doc_repetition_stats": (
             "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "

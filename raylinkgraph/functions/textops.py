@@ -241,6 +241,128 @@ def top_ngrams(
     )
 
 
+def decontaminate(
+    docs: rd.Dataset,
+    probe_ngrams: "list[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Eval-set decontamination: flag documents containing any probe
+    n-gram as consecutive words (the standard benchmark-leak filter a
+    training-data pipeline runs before training; cf. GPT-3 appendix C /
+    C4's exact-substring decontamination).
+
+    A probe hits iff ' '+text+' ' contains ' '+probe+' ' — exact word
+    alignment for single-space-separated text, and character-for-
+    character replayable in SQL (LIKE '% probe %'), so the oracle is
+    value-hash exact. Zero shuffle, stateless vectorized map_batches;
+    the probe set is a tiny constant shipped once inside the closure
+    (at a real eval-suite scale — millions of probes — the same stage
+    becomes an actor pool compiling an Aho-Corasick automaton in
+    __init__; the dataflow shape is unchanged)."""
+    probes = list(probe_ngrams)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        padded = " " + batch[text_col] + " "
+        hits = np.zeros(len(batch), np.int64)
+        for p in probes:
+            hits += padded.str.contains(f" {p} ", regex=False).to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "n_probes_hit": hits,
+                "contaminated": (hits > 0).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def dup_ngram_mass(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+    batch_size: int = 2048,
+) -> rd.Dataset:
+    """CCNet/C4-style corpus-duplication signal: for each document, the
+    fraction of its DISTINCT word n-grams that also occur in at least
+    one OTHER document -> (doc_id, n_grams, dup_grams, dup_frac_e6),
+    restricted to docs with >= 1 n-gram.
+
+    Dataflow (scale shape — two bucketed exchanges, no unbounded
+    groupby, no broadcast of the corpus-sized duplicate set):
+      1. map_batches: distinct (doc, gram) pairs per document (a row =
+         a whole doc, so batch-local dedup is globally exact), bucketed
+         by hash(gram).
+      2. per gram-bucket fold: docs-per-gram counted vectorized; emits
+         per-doc partials (count, dup_count) re-bucketed by hash(doc).
+         Gram strings travel with the rows — no hash-collision risk.
+      3. per doc-bucket fold: sum partials, quantize (exactly-rounded
+         IEEE ops, value-hash-exact vs the DuckDB oracle)."""
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = batch[id_col].to_numpy(np.int64)
+        grams: list[np.ndarray] = []
+        docs_rep: list[np.ndarray] = []
+        for did, toks in zip(doc_ids, batch[text_col].str.split(" ", regex=False)):
+            if len(toks) < n:
+                continue
+            a = np.array(toks, dtype=object)
+            parts = [a[i: len(a) - n + 1 + i] for i in range(n)]
+            g = parts[0]
+            for p in parts[1:]:
+                g = g + " " + p
+            g = np.unique(g)  # distinct grams within the doc
+            grams.append(g)
+            docs_rep.append(np.full(len(g), did, np.int64))
+        if not grams:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
+            )
+        g = np.concatenate(grams)
+        return pd.DataFrame(
+            {"gram": g, id_col: np.concatenate(docs_rep),
+             "__p": any_key_partition(g, buckets)}
+        )
+
+    def fold_gram(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")["gram"].transform("size").to_numpy(np.int64)
+        part = pd.DataFrame(
+            {id_col: g[id_col].to_numpy(np.int64),
+             "cnt": np.ones(len(g), np.int64),
+             "dup": (nd >= 2).astype(np.int64)}
+        )
+        out = part.groupby(id_col, sort=True).sum().reset_index()
+        did = out[id_col].to_numpy(np.int64)
+        return out.assign(__d=(did % np.int64(buckets)).astype(np.int32))
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=True)[["cnt", "dup"]].sum().reset_index()
+        ng = agg["cnt"].to_numpy(np.int64)
+        dup = agg["dup"].to_numpy(np.int64)
+        e6 = np.floor((dup / ng.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: agg[id_col].to_numpy(np.int64), "n_grams": ng,
+             "dup_grams": dup, "dup_frac_e6": e6}
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pandas", batch_size=batch_size)
+        .groupby("__p")
+        .map_groups(lambda g: fold_gram(g.drop(columns="__p")),
+                    batch_format="pandas")
+        .groupby("__d")
+        .map_groups(lambda g: fold_doc(g.drop(columns="__d")),
+                    batch_format="pandas")
+    )
+
+
 def top_terms(
     docs: rd.Dataset,
     *,

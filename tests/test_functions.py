@@ -446,3 +446,62 @@ def test_word_repetition_stats_pinned(ray_session):
     assert out["top_word_frac_e6"].tolist() == [750000, 250000, 666667]
     # keep: dup<=0.8 AND top<=0.3 (quantized ints) -> only doc 2 survives
     assert out["keep"].tolist() == [0, 1, 0]
+
+
+def test_decontaminate_pinned(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import decontaminate
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox",   # hits 'quick brown fox'
+                "quick brownfox jumps",  # no word-aligned hit
+                "a quick brown fox and the quick brown fox",  # 1 probe (set, not occurrences)
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd.from_pandas(df), ["quick brown fox", "lazy dog"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_probes_hit"].tolist() == [1, 0, 1]
+    assert out["contaminated"].tolist() == [1, 0, 1]
+
+
+def test_dup_ngram_mass_partition_invariant(ray_session):
+    """Same result at any partitioning/batching; hand-checked values."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import dup_ngram_mass
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d",      # grams: 'a b c','b c d' (both shared w/ doc2)
+                "a b c d e",    # 'a b c','b c d','c d e'
+                "x y z w",      # unique grams
+                "p q",          # no 3-gram -> absent from output
+            ],
+        }
+    )
+    want = {
+        1: (2, 2, 1000000),
+        2: (3, 2, 666667),
+        3: (2, 0, 0),
+    }
+    for parts in (1, 3):
+        out = (
+            dup_ngram_mass(rd.from_pandas(df).repartition(parts), n=3,
+                           batch_size=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got = {
+            int(r.doc_id): (int(r.n_grams), int(r.dup_grams),
+                            int(r.dup_frac_e6))
+            for r in out.itertuples()
+        }
+        assert got == want, (parts, got)
