@@ -149,3 +149,19 @@ def test_betweenness_64_actor_engine_equal(setup, tmp_root):
     )
     assert (a["oid"].to_numpy() == b["oid"].to_numpy()).all()
     assert np.allclose(a["bc"].to_numpy(), b["bc"].to_numpy(), atol=0, rtol=0)
+
+
+def test_betweenness_exact_all_sources_vs_networkx(setup, tmp_root):
+    """run_betweenness_exact: every vertex a source across ceil(V/64)
+    waves (90 vertices -> 2 waves, so the cross-wave sum is exercised);
+    on an undirected graph bc = 2x networkx unnormalized betweenness."""
+    import networkx as nx
+
+    from raylinkgraph.algos.brandes import run_betweenness_exact
+
+    g, G = setup
+    got = run_betweenness_exact(g, os.path.join(tmp_root, "ck-bc-exact"))
+    want = nx.betweenness_centrality(G, normalized=False)
+    assert len(got) == G.number_of_nodes()
+    for _, row in got.iterrows():
+        assert abs(row["bc"] - 2.0 * want[int(row["oid"])]) < 1e-9, row["oid"]
