@@ -1605,6 +1605,20 @@ def q_knn_ivf(sf_dir):
 EMB_DUP_TH = 0.3
 
 
+def q_emb_semantic_dedup(sf_dir):
+    """SemDeDup (cluster-then-dedup, arXiv:2303.09540): one row per
+    vector with (cell, keep, dup_of); rows-only driver check — the
+    n_cells=1 degenerate case is pinned exact against the full
+    similarity matrix in tests/test_functions.py::test_semantic_dedup."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = semantic_dedup(emb, 0.3, n_cells=8).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_emb_dup_pairs(sf_dir):
     """Embedding-cosine near-duplicate pairs, EXACT (a < b, cosine >=
     0.3): broadcast normalized corpus + per-batch matmul
@@ -2650,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_dup_ngram_mass": q_doc_dup_ngram_mass,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,

@@ -513,3 +513,82 @@ def ivf_knn_cosine(
         .sort_values(["query_id", "rnk"])
         .reset_index(drop=True)
     )
+
+
+def semantic_dedup(
+    embeddings: rd.Dataset,
+    threshold: float,
+    *,
+    n_cells: int = 16,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering then in-cluster pruning -> one row per
+    input, (vec_id, cell, keep, dup_of).
+
+    Rule (deterministic, no transitive closure needed): a vector is
+    DROPPED iff some SMALLER-id vector in the SAME cell has cosine >=
+    threshold with it; dup_of = the smallest such id (-1 when kept).
+    With n_cells=1 this degenerates to exact greedy dedup over the
+    whole corpus (pinned by the test); with real cell counts it is the
+    paper's approximation — cross-cell near-dups are intentionally not
+    compared.
+
+    Scale shape: centroids are trained driver-side on a modulo sample
+    and broadcast; ONE actor-pool pass assigns cells (corpus never
+    pairwise-materialized); the in-cell O(m^2) matmul is the paper's
+    design point — n_cells is chosen so a cell fits a worker (cells
+    are the unit of parallelism, key count is bounded, so a plain
+    groupby is safe)."""
+    n_total = embeddings.count()
+    step = max(1, n_total // train_sample)
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % step == 0))
+
+    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    train = train.sort_values(id_col)
+    Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+    C = _spherical_kmeans(Xt, min(n_cells, len(Xt)))
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            cell = np.argmax(X @ self.C.T, axis=1).astype(np.int32)
+            return pd.DataFrame(
+                {id_col: ids.astype(np.int64), "cell": cell,
+                 "vec": list(X.astype(np.float64))}
+            )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy(np.int64)
+        X = np.stack(g["vec"].to_numpy())
+        sims = X @ X.T
+        # strictly-lower-triangular hits: j < i with sims >= threshold
+        hit = (sims >= threshold) & np.tri(len(g), k=-1, dtype=bool)
+        any_hit = hit.any(axis=1)
+        first = np.where(any_hit, hit.argmax(axis=1), -1)
+        dup_of = np.where(any_hit, ids[first], np.int64(-1))
+        return pd.DataFrame(
+            {id_col: ids, "cell": g["cell"].to_numpy(np.int32),
+             "keep": (~any_hit).astype(np.int64), "dup_of": dup_of}
+        )
+
+    return (
+        embeddings.map_batches(
+            Assign, batch_format="pyarrow", concurrency=concurrency,
+            num_cpus=1,
+        )
+        .groupby("cell")
+        .map_groups(prune, batch_format="pandas")
+    )

@@ -505,3 +505,41 @@ def test_dup_ngram_mass_partition_invariant(ray_session):
             for r in out.itertuples()
         }
         assert got == want, (parts, got)
+
+
+def test_semantic_dedup(ray_session):
+    """SemDeDup: planted exact clones dropped in favor of the smallest
+    id; with n_cells=1 the result equals greedy dedup over the full
+    exact similarity matrix; cell-count only changes which CROSS-cell
+    dups are (by design) missed, never drops a unique vector."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import semantic_dedup
+
+    rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+    X = rng.normal(size=(50, 8))
+    X[40:] = X[:10] + 1e-9  # 10 planted clones of rows 0..9
+    emb = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(50, dtype=np.int64), "embedding": list(X)}
+    ))
+    out = (
+        semantic_dedup(emb, 0.99, n_cells=1, concurrency=1)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # exact greedy reference over the full matrix
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    want_keep = [not ((sims[i, :i] >= 0.99).any()) for i in range(50)]
+    assert out["keep"].astype(bool).tolist() == want_keep
+    for i in range(40, 50):
+        assert out.loc[i, "keep"] == 0 and out.loc[i, "dup_of"] == i - 40
+    # multi-cell: clones are bitwise-identical directions -> same cell,
+    # so all planted dups are still caught; kept set only grows
+    out4 = (
+        semantic_dedup(emb, 0.99, n_cells=4, concurrency=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (out4.loc[40:, "keep"] == 0).all()
+    assert set(out[out["keep"] == 1]["vec_id"]) <= set(
+        out4[out4["keep"] == 1]["vec_id"]
+    )
