@@ -1525,6 +1525,22 @@ def q_doc_dup_ngram_mass(sf_dir):
     )
 
 
+def q_doc_dup_clusters(sf_dir):
+    """Fuzzy-dedup cluster resolution: shared-8-gram pairs (df <= 16) ->
+    BSP hash-min WCC over the pair graph -> (doc_id, cluster_id, keep).
+    The one query where the text pipeline feeds the graph engine; the
+    oracle replays components with a recursive transitive-closure CTE."""
+    import tempfile
+
+    from raylinkgraph.functions.dedup import dup_clusters
+
+    wd = tempfile.mkdtemp(prefix="dupclust-")
+    return (
+        dup_clusters(_docs(sf_dir), wd)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_doc_lang_distribution(sf_dir):
     from raylinkgraph.functions.textops import lang_distribution
 
@@ -2665,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_dup_ngram_mass": q_doc_dup_ngram_mass,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_dup_clusters": q_doc_dup_clusters,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4675,6 +4692,29 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_dup_clusters": (
+            "WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "ix AS (SELECT doc_id, ws, "
+            "unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM d), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' "
+            "|| ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] "
+            "AS gram FROM ix WHERE i + 7 <= len(ws)), "
+            "dd AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram), "
+            "kg AS (SELECT gram FROM dd WHERE nd BETWEEN 2 AND 16), "
+            "pairs AS (SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b "
+            "FROM g ga JOIN kg USING (gram) JOIN g gb USING (gram) "
+            "WHERE ga.doc_id < gb.doc_id), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+            "reach(s, t) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a), "
+            "comp AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach "
+            "GROUP BY s) "
+            "SELECT doc_id, cluster_id, "
+            "CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) "
+            "AS keep FROM comp ORDER BY doc_id"
         ),
         "doc_dup_ngram_mass": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "

@@ -16,6 +16,7 @@ parallelism.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -611,3 +612,165 @@ def _ngram_hash_sets(texts: pd.Series, n: int) -> list[np.ndarray]:
                 h = (h * _P) ^ th[j : L - n + 1 + j]
         out.append(np.unique(h))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (pairs -> connected components -> keep list)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs: rd.Dataset,
+    workdir: str,
+    *,
+    n: int = 8,
+    max_df: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+    batch_size: int = 2048,
+    P: int = 8,
+) -> rd.Dataset:
+    """Fuzzy-dedup final step: candidate pairs -> weakly-connected
+    components -> canonical keep list (SlimPajama/Dolma-style cluster
+    resolution) -> (doc_id, cluster_id, keep) for EVERY document.
+
+    Two docs pair when they share a distinct word ``n``-gram that occurs
+    in at most ``max_df`` documents (the df cap drops boilerplate grams
+    the way real pipelines drop stop-shingles — and bounds per-gram pair
+    fan-out at C(max_df, 2)). Components are computed by the repo's own
+    BSP hash-min WCC (algos/wcc.py — reference gs::WCCProjected,
+    analytical_engine/apps/projected/wcc_projected.h:29-186) over the
+    pair graph, so ``cluster_id`` = MIN doc_id reachable via shared-gram
+    links, transitively. ``keep`` = 1 iff the doc is its cluster's min.
+
+    Dataflow (scale shape):
+      1. map_batches: distinct (gram, doc_id) per doc, hash(gram)-bucketed
+         (gram strings travel with rows — no collision risk).
+      2. per gram-bucket fold: df-filtered grams expand to sorted doc
+         pairs, vectorized per size class (triu_indices broadcast);
+         the pair set (bounded by C(max_df,2) per surviving gram) is
+         materialized once into the spill-backed object store.
+      3. LinkGraph.build(symmetrize) + run_bsp(WCC) — one graph build +
+         per-superstep-checkpointed fixpoint; nothing O(corpus) on the
+         driver.
+      4. doc ids UNION component labels, hash(doc)-bucketed fold picks
+         the component label when present else self.
+    """
+
+    from raylinkgraph.functions.hashing import any_key_partition, partition_of
+
+    def grams_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = batch[id_col].to_numpy(np.int64)
+        grams: list[np.ndarray] = []
+        docs_rep: list[np.ndarray] = []
+        for did, toks in zip(doc_ids, batch[text_col].str.split(" ", regex=False)):
+            if len(toks) < n:
+                continue
+            a = np.array(toks, dtype=object)
+            parts = [a[i: len(a) - n + 1 + i] for i in range(n)]
+            g = parts[0]
+            for p in parts[1:]:
+                g = g + " " + p
+            g = np.unique(g)
+            grams.append(g)
+            docs_rep.append(np.full(len(g), did, np.int64))
+        if not grams:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "__p": pd.Series([], dtype=np.int32)}
+            )
+        g = np.concatenate(grams)
+        return pd.DataFrame(
+            {"gram": g, id_col: np.concatenate(docs_rep),
+             "__p": any_key_partition(g, buckets)}
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src_id": pd.Series([], dtype=np.int64),
+             "dst_id": pd.Series([], dtype=np.int64)}
+        )
+        g = g.sort_values(["gram", id_col], kind="mergesort")
+        sz = g.groupby("gram", sort=False)["gram"].transform("size").to_numpy(np.int64)
+        keep = (sz >= 2) & (sz <= max_df)
+        g, sz = g[keep], sz[keep]
+        if not len(g):
+            return empty
+        ids = g[id_col].to_numpy(np.int64)
+        gv = g["gram"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        gsz = sz[starts]
+        a_out, b_out = [], []
+        for s in np.unique(gsz):  # <= max_df-1 size classes, each vectorized
+            rows = starts[gsz == s]
+            block = ids[rows[:, None] + np.arange(int(s))]
+            iu, ju = np.triu_indices(int(s), 1)
+            a_out.append(block[:, iu].ravel())
+            b_out.append(block[:, ju].ravel())
+        out = pd.DataFrame(
+            {"src_id": np.concatenate(a_out), "dst_id": np.concatenate(b_out)}
+        ).drop_duplicates()
+        return out if len(out) else empty
+
+    pairs = (
+        docs.map_batches(grams_stage, batch_format="pandas", batch_size=batch_size)
+        .groupby("__p")
+        .map_groups(pair_fold, batch_format="pandas")
+        .materialize()  # bounded: <= C(max_df,2) per surviving gram; spill-backed
+    )
+
+    ids_only = docs.select_columns([id_col])
+
+    def self_rows(batch: pa.Table) -> pd.DataFrame:
+        did = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: did, "cluster_id": did,
+             "pri": np.ones(len(did), np.int8),
+             "__b": partition_of(did, buckets)}
+        )
+
+    if pairs.count() == 0:
+        def finish_all(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {id_col: b[id_col].to_numpy(np.int64),
+                 "cluster_id": b[id_col].to_numpy(np.int64),
+                 "keep": np.ones(len(b), np.int64)}
+            )
+        return ids_only.map_batches(
+            lambda t: finish_all(t.to_pandas()), batch_format="pyarrow"
+        )
+
+    from raylinkgraph.algos.wcc import WCC
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.stages.graph_build import LinkGraph
+
+    g = LinkGraph.build(
+        pairs, os.path.join(workdir, "graph"), P=P, symmetrize=True
+    )
+    res = run_bsp(g, WCC(), os.path.join(workdir, "bsp"), max_rounds=10_000)
+
+    def comp_rows(batch: pa.Table) -> pd.DataFrame:
+        oid = batch.column("oid").to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = batch.column("comp").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: oid, "cluster_id": comp,
+             "pri": np.zeros(len(oid), np.int8),
+             "__b": partition_of(oid, buckets)}
+        )
+
+    def resolve(gr: pd.DataFrame) -> pd.DataFrame:
+        gr = gr.sort_values([id_col, "pri"], kind="mergesort")
+        first = gr.drop_duplicates(id_col, keep="first")
+        did = first[id_col].to_numpy(np.int64)
+        cid = first["cluster_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {id_col: did, "cluster_id": cid,
+             "keep": (did == cid).astype(np.int64)}
+        )
+
+    tagged = ids_only.map_batches(self_rows, batch_format="pyarrow").union(
+        res.state_ds().map_batches(comp_rows, batch_format="pyarrow")
+    )
+    return tagged.groupby("__b").map_groups(resolve, batch_format="pandas")
