@@ -1541,6 +1541,18 @@ def q_doc_dup_clusters(sf_dir):
     )
 
 
+def q_doc_pack_sequences(sf_dir):
+    """Training-prep sequence packing (concat docs in doc_id order, chunk
+    the token stream into 256-token packs) — the global ordered prefix
+    scan done as a two-level range scan; oracle = SQL window cumsum."""
+    from raylinkgraph.functions.packing import pack_sequences
+
+    return (
+        pack_sequences(_docs(sf_dir), budget=256)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_doc_lang_distribution(sf_dir):
     from raylinkgraph.functions.textops import lang_distribution
 
@@ -2682,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_mass": q_doc_dup_ngram_mass,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_pack_sequences": q_doc_pack_sequences,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4692,6 +4705,19 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS off FROM t) "
+            "SELECT doc_id, n_tokens, off AS offset, "
+            "CAST(off // 256 AS BIGINT) AS pack_id, "
+            "CAST((off + n_tokens - 1) // 256 - off // 256 + 1 AS BIGINT) "
+            "AS n_packs FROM c ORDER BY doc_id"
         ),
         "doc_dup_clusters": (
             "WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS ws "
