@@ -1553,6 +1553,18 @@ def q_doc_pack_sequences(sf_dir):
     )
 
 
+BM25_TERMS = ["spark", "merge", "window", "filter"]
+
+
+def q_doc_bm25(sf_dir):
+    """BM25 top-20 retrieval for a fixed probe-term query; per-term
+    contributions int-e6-quantized before summing so the doc score is an
+    order-free integer sum (see functions/ranking.py)."""
+    from raylinkgraph.functions.ranking import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), BM25_TERMS, k=20)
+
+
 def q_doc_lang_distribution(sf_dir):
     from raylinkgraph.functions.textops import lang_distribution
 
@@ -2695,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_bm25": q_doc_bm25,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4705,6 +4718,35 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_bm25": (
+            "WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+            "FROM documents), "
+            "s AS (SELECT COUNT(*) AS n, "
+            "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM w), "
+            "tf AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {i} AS ti, "
+                f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) "
+                f"AS f FROM documents"
+                for i, t in enumerate(BM25_TERMS)
+            )
+            + "), "
+            "tfh AS (SELECT * FROM tf WHERE f > 0), "
+            "dft AS (SELECT ti, COUNT(*) AS df FROM tfh GROUP BY ti), "
+            "sc AS (SELECT t.doc_id, SUM(CAST(floor("
+            "ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * t.f * 2.2 "
+            "/ (t.f + 1.2 * (1 - 0.75 + 0.75 * w.dl / s.avgdl)) "
+            "* 1000000 + 0.5) AS BIGINT)) AS score_e6 "
+            "FROM tfh t JOIN dft USING (ti) JOIN w USING (doc_id) "
+            "CROSS JOIN s GROUP BY t.doc_id "
+            "HAVING SUM(CAST(floor("
+            "ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * t.f * 2.2 "
+            "/ (t.f + 1.2 * (1 - 0.75 + 0.75 * w.dl / s.avgdl)) "
+            "* 1000000 + 0.5) AS BIGINT)) > 0) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) "
+            "AS BIGINT) AS rank, doc_id, score_e6 FROM sc "
+            "ORDER BY score_e6 DESC, doc_id LIMIT 20"
         ),
         "doc_pack_sequences": (
             "WITH t AS (SELECT doc_id, "
