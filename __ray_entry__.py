@@ -1525,6 +1525,21 @@ def q_doc_dup_ngram_mass(sf_dir):
     )
 
 
+def q_events_json_stats(sf_dir):
+    """JSON prop flatten-then-aggregate: extract int field 'k' from the
+    props JSON-string column (vectorized regex, no per-row json.loads)
+    and aggregate per event_type; oracle = DuckDB json_extract."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.jsonops import json_int_field_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return (
+        json_int_field_stats(ev)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+
+
 def q_doc_dup_clusters(sf_dir):
     """Fuzzy-dedup cluster resolution: shared-8-gram pairs (df <= 16) ->
     BSP hash-min WCC over the pair graph -> (doc_id, cluster_id, keep).
@@ -2708,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_bm25": q_doc_bm25,
+        "events_json_stats": q_events_json_stats,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4718,6 +4734,15 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "events_json_stats": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS v FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(v) AS BIGINT) AS n_with_field, "
+            "CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_v, "
+            "CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v "
+            "FROM x GROUP BY event_type ORDER BY event_type"
         ),
         "doc_bm25": (
             "WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
