@@ -83,6 +83,9 @@ def bm25_topk(
     cand = docs.map_batches(
         score, batch_format="pandas", batch_size=batch_size
     ).to_pandas()
+    if "score_e6" not in cand.columns:  # no batch produced a hit
+        cand = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "score_e6": pd.Series([], dtype=np.int64)})
     cand = cand.sort_values(
         ["score_e6", id_col], ascending=[False, True]
     ).head(k).reset_index(drop=True)

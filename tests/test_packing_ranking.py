@@ -1,0 +1,82 @@
+"""Partition/parameter-invariance for the round-4 additions: sequence
+packing, dup-cluster resolution, BM25, JSON field stats. The oracle
+parity of each is covered by test_oracle_parity; here we pin the scale
+contract — results must not depend on bucket/range/parallelism knobs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_pack_sequences_range_invariance(ray_session):
+    from raylinkgraph.functions.packing import pack_sequences
+
+    a = pack_sequences(_docs(), budget=64, ranges=3).to_pandas()
+    b = pack_sequences(_docs(), budget=64, ranges=17).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # offsets are the exclusive prefix sum of n_tokens in doc_id order
+    assert (a["offset"].to_numpy()
+            == np.concatenate([[0], np.cumsum(a["n_tokens"].to_numpy())[:-1]])).all()
+    assert (a["pack_id"].to_numpy() == a["offset"].to_numpy() // 64).all()
+
+
+def test_dup_clusters_bucket_invariance(ray_session, tmp_path):
+    from raylinkgraph.functions.dedup import dup_clusters
+
+    a = dup_clusters(_docs(), str(tmp_path / "w1"), buckets=8, P=2).to_pandas()
+    b = dup_clusters(_docs(), str(tmp_path / "w2"), buckets=32, P=8).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # cluster_id is the component minimum, so every cluster keeps exactly
+    # its own min and the keep flag matches id==cluster
+    assert (a["keep"].to_numpy() == (a["doc_id"] == a["cluster_id"]).to_numpy()).all()
+    reps = set(a.loc[a["keep"] == 1, "doc_id"])
+    assert set(a["cluster_id"]).issubset(reps)
+
+
+def test_bm25_batch_size_invariance(ray_session):
+    from raylinkgraph.functions.ranking import bm25_topk
+
+    t = ["spark", "merge"]
+    a = bm25_topk(_docs(), t, k=10, batch_size=64)
+    b = bm25_topk(_docs(), t, k=10, batch_size=4096)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["score_e6"].to_numpy()[:-1] >= a["score_e6"].to_numpy()[1:]).all()
+
+
+def test_bm25_empty_terms_absent(ray_session):
+    from raylinkgraph.functions.ranking import bm25_topk
+
+    out = bm25_topk(_docs(), ["zzz_not_a_word_zzz"], k=5)
+    assert len(out) == 0
+
+
+def test_json_stats_matches_pandas(ray_session):
+    from raylinkgraph.functions.jsonops import json_int_field_stats
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "props"])
+    got = (
+        json_int_field_stats(ev)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "props"])
+    k = pdf["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
+    want = (
+        pd.DataFrame({"event_type": pdf["event_type"], "v": k})
+        .groupby("event_type")
+        .agg(n=("v", "size"), n_with_field=("v", "count"),
+             sum_v=("v", "sum"), min_v=("v", "min"), max_v=("v", "max"))
+        .reset_index()
+    )
+    for c in ["n", "n_with_field", "sum_v", "min_v", "max_v"]:
+        assert (got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
