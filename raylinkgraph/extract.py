@@ -105,3 +105,81 @@ def extract(html: bytes, base_url: str = "") -> tuple[str, list[str]]:
 def extract_text(html: bytes) -> str:
     """Text-only variant (used by the text_table stage)."""
     return extract(html)[0]
+
+
+# ---------------------------------------------------------------------------
+# Gated fast path
+# ---------------------------------------------------------------------------
+# html.parser.HTMLParser is a per-character Python state machine and is
+# the measured wall-clock floor of the build pipeline (~337 us/page).
+# For the overwhelmingly common simple-HTML shape, the same spec can be
+# computed with C-speed regex passes ~5x faster. The fast path is GATED:
+# any construct whose HTMLParser semantics the regex pipeline does not
+# replicate exactly (comments, CDATA, processing instructions, uppercase
+# tags, numeric charrefs, non-template <a> forms, stray angle brackets,
+# whitespace in hrefs, unusual relative URL forms) returns None and the
+# caller falls back to the pinned parser for that page. The invariant is
+# therefore preserved BY CONSTRUCTION (never "close enough": either
+# provably-identical constructs or the pinned parser), and additionally
+# asserted byte-for-byte over generated corpora + adversarial fallback
+# cases in tests/test_extract_fast.py.
+
+_UNSAFE_RE = re.compile(r"<!--|<!\[|<\?|<[A-Z/]?[A-Z]|&#")
+_SS_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>", re.S)
+# strict form only: anything a stray "<"/">" leaves behind trips the
+# post-strip punt check below (HTMLParser treats "< 2" as text data)
+_TAG_RE = re.compile(r"</?[a-z][^<>]*>")
+_A_RE = re.compile(r'<a href="([^"<>]*)">')
+_ABS_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)")
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+
+
+def extract_fast(html: bytes, base_url: str = "") -> tuple[str, list[str]] | None:
+    """Spec-identical extraction for gated simple HTML; None = punt."""
+    import html as _htmlmod
+
+    raw = html.decode("utf-8", errors="replace")
+    if _UNSAFE_RE.search(raw):
+        return None
+    if raw.count("<a ") + raw.count("<a>") != len(_A_RE.findall(raw)):
+        return None
+    body = _SS_RE.sub("", raw)
+    if "<script" in body or "<style" in body:
+        return None  # nested/unbalanced script-style: let HTMLParser decide
+    hrefs = _A_RE.findall(body)
+    txt = _TAG_RE.sub("", body)
+    if "<" in txt or ">" in txt:
+        return None  # stray angle brackets: HTMLParser data-mode subtleties
+    txt = _WS_RE.sub(" ", _htmlmod.unescape(txt)).strip()
+    txt = unicodedata.normalize("NFC", txt)
+    m = _ABS_RE.match(base_url)
+    base_root = (m.group(1).lower() + "://" + m.group(2).lower()) if m else None
+    links: list[str] = []
+    for href in hrefs:
+        if "&" in href:
+            href = _htmlmod.unescape(href)
+        if any(c in href for c in " \t\n\r\\"):
+            return None
+        am = _ABS_RE.match(href)
+        if am:
+            scheme = am.group(1).lower()
+            if scheme in ("http", "https"):
+                links.append(scheme + "://" + am.group(2).lower() + am.group(3))
+            continue
+        sm = _SCHEME_RE.match(href)
+        if sm:
+            if sm.group(1).lower() in ("http", "https"):
+                return None  # "http:foo" scheme-no-authority oddity
+            continue  # mailto:/javascript:/... -> dropped, same as pinned
+        if href.startswith("/") and not href.startswith("//") and base_root:
+            links.append(base_root + href.split("#", 1)[0])
+        else:
+            return None  # ./ ../ ?q #f //host etc: urljoin territory
+    return txt, links
+
+
+def extract_auto(html: bytes, base_url: str = "") -> tuple[str, list[str]]:
+    """Fast path when gated-safe, pinned parser otherwise — always
+    byte-identical to extract()."""
+    fast = extract_fast(html, base_url)
+    return fast if fast is not None else extract(html, base_url)

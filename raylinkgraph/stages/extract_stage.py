@@ -17,17 +17,18 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data as rd
 
-from raylinkgraph.extract import extract
+from raylinkgraph.extract import extract_auto
 
 
 class ExtractPages:
     """pages(url, html, lang) -> (url, text, lang, links:list<string>)."""
 
     def __init__(self) -> None:
-        # The pinned extractor is pure; per-actor state is just the bound
-        # function (kept as an attribute so future model-backed extractors
-        # slot in here without changing the pipeline shape).
-        self._extract = extract
+        # Gated fast-path extractor with pinned-parser fallback (always
+        # byte-identical to raylinkgraph.extract.extract); kept as an
+        # attribute so future model-backed extractors slot in here
+        # without changing the pipeline shape.
+        self._extract = extract_auto
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
