@@ -1525,6 +1525,18 @@ def q_doc_dup_ngram_mass(sf_dir):
     )
 
 
+def q_doc_dsir_weights(sf_dir):
+    """DSIR importance weights (arXiv:2302.03169): per-doc summed
+    log-ratio of target (lang='en') vs raw unigram models; per-word
+    lambdas int-e6-quantized so doc scores are order-free integer sums."""
+    from raylinkgraph.functions.dsir import dsir_weights
+
+    return (
+        dsir_weights(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_events_json_stats(sf_dir):
     """JSON prop flatten-then-aggregate: extract int field 'k' from the
     props JSON-string column (vectorized regex, no per-row json.loads)
@@ -2724,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_bm25": q_doc_bm25,
         "events_json_stats": q_events_json_stats,
+        "doc_dsir_weights": q_doc_dsir_weights,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4734,6 +4747,23 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_dsir_weights": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS w FROM documents), "
+            "cnt AS (SELECT w, COUNT(*) AS n_r, "
+            "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t "
+            "FROM tok GROUP BY w), "
+            "tot AS (SELECT SUM(n_r) AS nr, SUM(n_t) AS nt, COUNT(*) AS v "
+            "FROM cnt), "
+            "lam AS (SELECT w, CAST(floor(ln("
+            "((n_t + 1.0) / (nt + v)) / ((n_r + 1.0) / (nr + v))"
+            ") * 1000000 + 0.5) AS BIGINT) AS l FROM cnt CROSS JOIN tot), "
+            "per AS (SELECT t.doc_id, SUM(t.c * lam.l) AS s FROM "
+            "(SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w) t "
+            "JOIN lam USING (w) GROUP BY t.doc_id) "
+            "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
+            "ORDER BY doc_id"
         ),
         "events_json_stats": (
             "WITH x AS (SELECT event_type, "

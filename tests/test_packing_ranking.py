@@ -80,3 +80,29 @@ def test_json_stats_matches_pandas(ray_session):
     )
     for c in ["n", "n_with_field", "sum_v", "min_v", "max_v"]:
         assert (got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
+
+
+def test_dsir_hashed_variant_and_direction(ray_session):
+    from raylinkgraph.functions.dsir import dsir_weights
+
+    exact = (
+        dsir_weights(_docs())
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    hashed = (
+        dsir_weights(_docs(), hash_features=256)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(exact) == len(hashed)
+    # target-slice docs must score higher on average than the rest
+    langs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    m = exact.merge(langs, on="doc_id")
+    en = m.loc[m["lang"] == "en", "importance_e6"].mean()
+    rest = m.loc[m["lang"] != "en", "importance_e6"].mean()
+    assert en > rest
+    # bucket-count invariance of the exact variant
+    b = (
+        dsir_weights(_docs(), buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, b)
