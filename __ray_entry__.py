@@ -1537,6 +1537,18 @@ def q_doc_dsir_weights(sf_dir):
     )
 
 
+def q_doc_bpe_tokens(sf_dir):
+    """Whitespace + GPT-2-style BPE-ish token counts per doc; the regex
+    is the identical string on both engine (Python re) and oracle
+    (DuckDB RE2) sides."""
+    from raylinkgraph.functions.textops import bpe_token_counts
+
+    return (
+        bpe_token_counts(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_events_json_stats(sf_dir):
     """JSON prop flatten-then-aggregate: extract int field 'k' from the
     props JSON-string column (vectorized regex, no per-row json.loads)
@@ -2737,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": q_doc_bm25,
         "events_json_stats": q_events_json_stats,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4747,6 +4760,15 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END "
             "AS contaminated FROM documents ORDER BY doc_id"
+        ),
+        "doc_bpe_tokens": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+"
+            "| ?[^ a-zA-Z0-9]+| +')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents ORDER BY doc_id"
         ),
         "doc_dsir_weights": (
             "WITH tok AS (SELECT doc_id, lang, "

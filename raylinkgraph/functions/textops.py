@@ -656,3 +656,32 @@ def pivot_counts(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# GPT-2-style pre-tokenizer, ASCII form (the unicode \p{L}/\p{N} classes
+# are narrowed to ASCII so the Python-re engine pattern and the DuckDB
+# RE2 oracle pattern are the IDENTICAL string — no unicode-class
+# divergence; the corpus is ASCII). Branch order matches GPT-2's
+# (contractions first, then optional-space letter/digit/punct runs).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+
+def bpe_token_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens next to
+    GPT-2-pre-tokenizer-style tokens (the SURVEY 'BPE-ish regex' counter;
+    a real BPE merge table changes the constant, not the shape).
+    SQL parity: len(regexp_extract_all(text, BPE_ISH_PATTERN))."""
+    import re as _re
+
+    pat = _re.compile(BPE_ISH_PATTERN)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": batch[text_col].str.count(_TOKEN_RE).astype(np.int64),
+                "n_bpe_tokens": batch[text_col].str.count(pat).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
