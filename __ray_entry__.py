@@ -2289,6 +2289,31 @@ def q_graph_ktruss(sf_dir):
 WALK_LEN = 4
 
 
+def q_graph_khop_sample(sf_dir):
+    """GraphSAGE-style 2-hop fixed-fanout (3,2) neighbor sampling on the
+    symmetric pp co-order graph (algos/walks.py khop_sample): per-seed
+    deterministic circular-block selection over the id-sorted adjacency,
+    exactly replayed by the SQL oracle's modular ROW_NUMBER window."""
+    import ray.data as rd
+
+    from raylinkgraph.algos.walks import khop_sample
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    ed = g.edges_ds()
+    sym = ed.union(
+        ed.map_batches(
+            lambda b: pd.DataFrame(
+                {"src_id": b["dst_id"].to_numpy(np.int64),
+                 "dst_id": b["src_id"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    )
+    out = khop_sample(sym, fanouts=[3, 2], seed_mod=20).to_pandas()
+    return out.sort_values(["seed", "hop", "src", "dst"]).reset_index(drop=True)
+
+
 def q_graph_walks(sf_dir):
     """Deterministic pseudo-random walk corpus on the symmetric pp
     co-order graph (algos/walks.py): one walk per vertex, 4 hops, the
@@ -2791,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": q_events_user_mode,
         "events_sliding_counts": q_events_sliding_counts,
         "graph_ktruss": q_graph_ktruss,
+        "graph_khop_sample": q_graph_khop_sample,
         "graph_walks": q_graph_walks,
         "graph_skipgram_pairs": q_graph_skipgram_pairs,
         "rel_price_pct_rank": q_rel_price_pct_rank,
@@ -2867,6 +2893,29 @@ _PP_EDGES = (
     "FROM lineitem a JOIN lineitem b "
     "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
 )
+
+_KHOP_SQL = (
+    "WITH pedges AS MATERIALIZED (" + _PP_EDGES + "), "
+    "e AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+    "UNION SELECT v, u FROM pedges), "
+    "adj AS MATERIALIZED (SELECT s, d, "
+    "ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) - 1 AS rn, "
+    "COUNT(*) OVER (PARTITION BY s) AS deg FROM e), "
+    "seeds AS (SELECT DISTINCT s AS seed FROM e WHERE s % 20 = 0), "
+    "h1 AS MATERIALIZED (SELECT sd.seed, a.s AS src, a.d AS dst FROM seeds sd "
+    "JOIN adj a ON a.s = sd.seed AND "
+    "(a.rn - (((sd.seed % 97) * 131 + 1 * 31 + a.s % 1000003) % a.deg) "
+    "+ a.deg) % a.deg < 3), "
+    "f2 AS (SELECT DISTINCT seed, dst AS v FROM h1), "
+    "h2 AS (SELECT f.seed, a.s AS src, a.d AS dst FROM f2 f "
+    "JOIN adj a ON a.s = f.v AND "
+    "(a.rn - (((f.seed % 97) * 131 + 2 * 31 + a.s % 1000003) % a.deg) "
+    "+ a.deg) % a.deg < 2) "
+    "SELECT seed, CAST(1 AS BIGINT) AS hop, src, dst FROM h1 "
+    "UNION ALL SELECT seed, CAST(2 AS BIGINT), src, dst FROM h2 "
+    "ORDER BY seed, hop, src, dst"
+)
+
 
 # Multi-label property-graph projection in SQL: gid = key + label_idx * 2^40,
 # labels in sorted order (customer=0, nation=1, region=2, supplier=3) —
@@ -4649,6 +4698,7 @@ def oracle_sql() -> dict[str, str]:
             "w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) "
             "ORDER BY o_orderkey"
         ),
+        "graph_khop_sample": _KHOP_SQL,
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (

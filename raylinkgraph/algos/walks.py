@@ -141,3 +141,132 @@ def random_walks(
     # blocks -> 30+ s per map over a 10k-row corpus). Consolidate once —
     # sub-second — before handing the corpus on.
     return ds.repartition(_B)
+
+
+def khop_sample(
+    edges: rd.Dataset,
+    *,
+    fanouts: list[int],
+    seed_mod: int = 20,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> rd.Dataset:
+    """GraphSAGE-style k-hop fixed-fanout neighbor sampling (Hamilton et
+    al. 2017 minibatch frontier; the reference's GLE sampling surface is
+    out of scope per SURVEY §2.5 — this is the Dataset-native
+    equivalent of its 1-hop/k-hop neighbor samplers).
+
+    Seeds = vertices with id % seed_mod == 0. At hop h (1-based) each
+    frontier pair (seed, v) samples min(fanouts[h-1], deg(v)) DISTINCT
+    neighbors as a circular block of the id-sorted adjacency starting at
+
+      start = ((seed % 97) * 131 + h * 31 + v % 1000003) % deg
+
+    i.e. rn selected iff (rn - start + deg) % deg < fanout — per-seed
+    independent, deterministic, and exactly SQL-replayable (ROW_NUMBER
+    adjacency + the same modular window). -> (seed, hop, src, dst).
+
+    Scale shape mirrors random_walks: the bucketed edge blocks are
+    pinned once; each hop is one hash(vertex)-bucketed exchange where
+    the frontier meets its adjacency run (searchsorted) and expands
+    vectorized; the frontier is deduped per (seed, vertex) so repeated
+    reaches never re-expand.
+    """
+
+    def bucket_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(np.int64)
+        d = b[dst_col].to_numpy(np.int64)
+        return pd.DataFrame({"s": s, "d": d, "side": np.int8(0),
+                             "seed": np.int64(-1),
+                             "__p": partition_of(s, _B)})
+
+    edges_tagged = edges.map_batches(
+        bucket_edges, batch_format="pandas"
+    ).materialize()
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b[src_col].to_numpy(np.int64))
+        u = u[u % seed_mod == 0]
+        return pd.DataFrame({"u": u, "__p": partition_of(u, _B)})
+
+    def seed_fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["u"].to_numpy(np.int64))
+        return pd.DataFrame({"s": u, "d": np.int64(-1), "side": np.int8(1),
+                             "seed": u, "__p": partition_of(u, _B)})
+
+    frontier = (
+        edges.map_batches(seed_partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(seed_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    out_frames = []
+    empty = pd.DataFrame({"seed": pd.Series([], dtype=np.int64),
+                          "hop": pd.Series([], dtype=np.int64),
+                          "src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)})
+
+    for hop, fan in enumerate(fanouts, start=1):
+        def expand(g: pd.DataFrame, hop=hop, fan=fan) -> pd.DataFrame:
+            ee = g[g["side"] == 0].drop_duplicates(["s", "d"]).sort_values(["s", "d"])
+            ff = g[g["side"] == 1]
+            if not len(ee) or not len(ff):
+                return empty
+            es = ee["s"].to_numpy(np.int64)
+            ed = ee["d"].to_numpy(np.int64)
+            cur = ff["s"].to_numpy(np.int64)
+            sd = ff["seed"].to_numpy(np.int64)
+            lo = np.searchsorted(es, cur, side="left")
+            deg = np.searchsorted(es, cur, side="right") - lo
+            live = deg > 0
+            if not live.any():
+                return empty
+            lo, deg, cur, sd = lo[live], deg[live], cur[live], sd[live]
+            start = ((sd % 97) * 131 + hop * 31 + cur % 1000003) % deg
+            k = np.minimum(deg, fan)
+            rep = np.repeat(np.arange(len(cur)), k)
+            j = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(k)[:-1]]), k
+            )
+            idx = (start[rep] + j) % deg[rep]
+            return pd.DataFrame(
+                {"seed": sd[rep], "hop": np.int64(hop),
+                 "src": cur[rep], "dst": ed[lo[rep] + idx]}
+            )
+
+        stepped = (
+            edges_tagged.union(frontier)
+            .groupby("__p")
+            .map_groups(expand, batch_format="pandas")
+            .materialize()  # consumed twice: output + next frontier
+        )
+        out_frames.append(stepped)
+        if hop < len(fanouts):
+            def next_partial(b: pd.DataFrame) -> pd.DataFrame:
+                u = b[["seed", "dst"]].drop_duplicates()
+                return pd.DataFrame(
+                    {"sv": u["seed"].to_numpy(np.int64),
+                     "vv": u["dst"].to_numpy(np.int64),
+                     "__p": partition_of(u["dst"].to_numpy(np.int64), _B)}
+                )
+
+            def next_fold(g: pd.DataFrame) -> pd.DataFrame:
+                u = g[["sv", "vv"]].drop_duplicates()
+                return pd.DataFrame(
+                    {"s": u["vv"].to_numpy(np.int64), "d": np.int64(-1),
+                     "side": np.int8(1),
+                     "seed": u["sv"].to_numpy(np.int64),
+                     "__p": partition_of(u["vv"].to_numpy(np.int64), _B)}
+                )
+
+            frontier = (
+                stepped.map_batches(next_partial, batch_format="pandas")
+                .groupby("__p")
+                .map_groups(next_fold, batch_format="pandas")
+            )
+
+    ds = out_frames[0]
+    for f in out_frames[1:]:
+        ds = ds.union(f)
+    return ds.repartition(_B)
