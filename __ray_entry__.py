@@ -2737,6 +2737,122 @@ def q_pg_pagerank(sf_dir):
     ).sort_values("oid").reset_index(drop=True)
 
 
+WPR_ROUNDS = 15
+
+
+def q_graph_pagerank_weighted(sf_dir):
+    """PageRank with edge weights (networkx pagerank(weight=...) /
+    reference pagerank over weight-projected property graphs,
+    apps/pagerank/pagerank_networkx.h:118-133): rank mass leaves a vertex
+    proportional to each edge's share of its total out-weight. Weights =
+    pp co-order counts; transition normalization happens once at build
+    (tpch_graph.pp_transition_edges), keeping the superstep a pure
+    gather-scatter. e6-quantized vs the unrolled SQL replay."""
+    from raylinkgraph.algos.pagerank import WeightedPageRank
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "ppt")
+    res = run_bsp(
+        g,
+        WeightedPageRank(g.n_vertices, alpha=ALPHA, tol=0.0, max_rounds=WPR_ROUNDS),
+        workdir_for(sf_dir, "wpr"),
+        max_rounds=WPR_ROUNDS,
+    )
+    df = res.state_pandas()[["oid", "rank"]]
+    return pd.DataFrame(
+        {"oid": df["oid"], "rank_e6": _rank_e6(df["rank"].to_numpy())}
+    ).sort_values("oid").reset_index(drop=True)
+
+
+def q_graph_reciprocity(sf_dir):
+    """Edge reciprocity of the directed customer<->part return graph
+    (networkx.overall_reciprocity semantics): the mutual-link statistic
+    every web-graph study reports. One bucketed shuffle on the unordered
+    pair key (pipelines/graph_ops.reciprocity); exact integer counts +
+    e6 ratio vs plain SQL."""
+    from raylinkgraph.pipelines.graph_ops import reciprocity
+    from raylinkgraph.pipelines.tpch_graph import cpr_edges
+
+    return reciprocity(cpr_edges(sf_dir))
+
+
+def q_graph_quotient(sf_dir):
+    """Quotient / contracted graph (the page-graph -> host-graph
+    aggregation of every web pipeline, here customer->nation x
+    part->brand over the cp order graph): map both endpoints through
+    (oid, grp) tables and count distinct underlying edges per group pair.
+    Three bucketed exchanges, mappings travel sharded — nothing broadcast
+    (pipelines/graph_ops.quotient_graph)."""
+    import ray.data as rd
+
+    from raylinkgraph.pipelines.graph_ops import quotient_graph
+    from raylinkgraph.pipelines.tpch_graph import PART_OFFSET, get_graph
+
+    g = get_graph(sf_dir, "cp")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"oid": b["c_custkey"].to_numpy(np.int64),
+             "grp": b["c_nationkey"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"oid": b["p_partkey"].to_numpy(np.int64) + PART_OFFSET,
+             "grp": b["p_brand"]}
+        ),
+        batch_format="pandas",
+    )
+    out = quotient_graph(g.edges_ds(), cust, part).to_pandas()
+    out["src_nation"] = out["src_grp"].astype(np.int64)
+    out["dst_brand"] = out["dst_grp"].astype(str)
+    out["n_edges"] = out["n_edges"].astype(np.int64)
+    return (
+        out[["src_nation", "dst_brand", "n_edges"]]
+        .sort_values(["src_nation", "dst_brand"])
+        .reset_index(drop=True)
+    )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir):
+    """Ordered funnel per user (view -> click -> purchase, each step
+    strictly after the previous step's completion): earliest completion
+    time per step in epoch microseconds (-1 = never), plus reached depth.
+    Exact int64 output — bit-exact vs the SQL chained-min oracle
+    (functions/windows.funnel_steps, one hash(user) shuffle)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import funnel_steps
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_steps(ev, FUNNEL_STEPS).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_user_gaps(sf_dir):
+    """Per-user inter-event-time stats over the sorted event stream:
+    (n, span_us, max_gap_us) — exact epoch-microsecond integers, matching
+    the DuckDB LAG-window oracle bit-for-bit
+    (functions/windows.user_gap_stats, one hash(user) shuffle)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import user_gap_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = user_gap_stats(ev).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -2775,6 +2891,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_stats": q_events_json_stats,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "graph_khop_sample": q_graph_khop_sample,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_quotient": q_graph_quotient,
+        "events_funnel": q_events_funnel,
+        "events_user_gaps": q_events_user_gaps,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -2816,7 +2938,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": q_events_user_mode,
         "events_sliding_counts": q_events_sliding_counts,
         "graph_ktruss": q_graph_ktruss,
-        "graph_khop_sample": q_graph_khop_sample,
         "graph_walks": q_graph_walks,
         "graph_skipgram_pairs": q_graph_skipgram_pairs,
         "rel_price_pct_rank": q_rel_price_pct_rank,
@@ -2965,6 +3086,106 @@ def _pagerank_sql(rounds: int, alpha: float, edges_sql: str | None = None) -> st
         + f"\nSELECT v AS oid, CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS rank_e6 "
         f"FROM r{rounds} ORDER BY oid"
     )
+
+
+def _wpagerank_sql(rounds: int, alpha: float) -> str:
+    """Unrolled weighted PageRank over the symmetric pp co-order graph:
+    transition weight t(u,v) = w(u,v)/Σw(u,·) with w = co-order counts —
+    the same integer-exact division the engine performs at build time
+    (tpch_graph.pp_transition_edges), so only summation order differs
+    under the e6 quantization. The symmetric graph has no dangling
+    vertices, hence no dangling term."""
+    ctes = [
+        "wpairs AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, "
+        "COUNT(*)::DOUBLE AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT u AS s, v AS d, w FROM wpairs "
+        "UNION ALL SELECT v, u, w FROM wpairs)",
+        "wdeg AS MATERIALIZED (SELECT s, SUM(w) AS sw FROM sym GROUP BY s)",
+        "trans AS MATERIALIZED (SELECT sym.s, sym.d, sym.w / wdeg.sw AS t "
+        "FROM sym JOIN wdeg ON wdeg.s = sym.s)",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS r FROM verts)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT trans.d AS v, SUM(r.r * trans.t) AS s "
+            f"FROM trans JOIN r{i} r ON trans.s = r.v GROUP BY trans.d)"
+        )
+        ctes.append(
+            f"r{i+1} AS MATERIALIZED (SELECT verts.v, "
+            f"{alpha} * COALESCE(m{i}.s, 0) + {1.0 - alpha} / (SELECT n FROM nn) AS r "
+            f"FROM verts LEFT JOIN m{i} ON m{i}.v = verts.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS oid, CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS rank_e6 "
+        f"FROM r{rounds} ORDER BY oid"
+    )
+
+
+_CPR_EDGES = (
+    "SELECT DISTINCT o_custkey AS s, 10000000 + l_partkey AS d "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "UNION SELECT DISTINCT 10000000 + l_partkey, o_custkey "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_returnflag = 'R'"
+)
+
+_RECIPROCITY_SQL = f"""
+WITH dedges AS MATERIALIZED ({_CPR_EDGES}),
+e AS MATERIALIZED (SELECT s, d FROM dedges WHERE s <> d),
+agg AS (SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        (SELECT COUNT(*) FROM e a JOIN e b ON a.s = b.d AND a.d = b.s)
+        AS n_recip)
+SELECT n_edges, n_recip,
+CAST(FLOOR(1e6 * n_recip / n_edges + 0.5) AS BIGINT) AS recip_e6 FROM agg
+"""
+
+_QUOTIENT_SQL = f"""
+WITH e AS MATERIALIZED ({_EDGES})
+SELECT c_nationkey AS src_nation, p_brand AS dst_brand,
+       COUNT(*) AS n_edges
+FROM e JOIN customer ON c_custkey = e.src_id
+JOIN part ON 10000000 + p_partkey = e.dst_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_FUNNEL_SQL = """
+WITH u AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+t0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+t1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+       JOIN t0 ON t0.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t0.t GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+       JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t GROUP BY 1)
+SELECT u.user_id,
+  (CASE WHEN t0.t IS NULL THEN 0 WHEN t1.t IS NULL THEN 1
+        WHEN t2.t IS NULL THEN 2 ELSE 3 END)::BIGINT AS depth,
+  COALESCE(t0.t, -1) AS t0_us, COALESCE(t1.t, -1) AS t1_us,
+  COALESCE(t2.t, -1) AS t2_us
+FROM u LEFT JOIN t0 ON t0.user_id = u.user_id
+LEFT JOIN t1 ON t1.user_id = u.user_id
+LEFT JOIN t2 ON t2.user_id = u.user_id
+WHERE t0.t IS NOT NULL OR EXISTS (SELECT 1 FROM events e2
+      WHERE e2.user_id = u.user_id
+        AND e2.event_type IN ('view', 'click', 'purchase'))
+ORDER BY u.user_id
+"""
+
+_USER_GAPS_SQL = """
+WITH g AS (SELECT user_id, epoch_us(ts) AS t,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts) AS gap
+           FROM events)
+SELECT user_id, COUNT(*) AS n, (MAX(t) - MIN(t)) AS span_us,
+       COALESCE(MAX(gap), 0) AS max_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""
 
 
 _CONV_OK = "(SELECT ok FROM _conv) = 1"
@@ -3930,13 +4151,7 @@ def _lpa_u2i_sql(rounds: int) -> str:
     )
 
 
-_CPR_EDGES = (
-    "SELECT DISTINCT o_custkey AS s, 10000000 + l_partkey AS d "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
-    "UNION SELECT DISTINCT 10000000 + l_partkey, o_custkey "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
-    "WHERE l_returnflag = 'R'"
-)
+# (_CPR_EDGES is defined above, before its first f-string use)
 
 
 def _scc_sql(phases: int, rounds: int) -> str:
@@ -4699,6 +4914,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderkey"
         ),
         "graph_khop_sample": _KHOP_SQL,
+        "graph_pagerank_weighted": _wpagerank_sql(WPR_ROUNDS, ALPHA),
+        "graph_reciprocity": _RECIPROCITY_SQL,
+        "graph_quotient": _QUOTIENT_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_user_gaps": _USER_GAPS_SQL,
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (

@@ -125,3 +125,63 @@ class PageRank(Superstep):
         if completed_rounds >= self.max_rounds:
             return True
         return completed_rounds >= 1 and scalars["l1"] < self.n * self.tol
+
+
+class WeightedPageRank(PageRank):
+    """PageRank over a weighted graph: rank mass leaves u along edge
+    (u, v) in proportion to the edge's share of u's total out-weight
+    (networkx.pagerank(weight=...) semantics; the reference runs the
+    same built-in over weight-projected property graphs,
+    analytical_engine/apps/pagerank/pagerank_networkx.h:118-133 with
+    edata weights).
+
+    The graph must be built with ``weight_col`` holding the PRE-NORMALIZED
+    transition weight w(u,v)/Σ_x w(u,x) (one bucketed groupby at build
+    time — see tpch_graph.pp_transition_edges). That keeps the superstep
+    a pure gather-scatter: message = rank(u) · t(u,v), no per-round
+    division, and the scatter stream stays identical in shape to the
+    unweighted variant (static message positions, f4-able payloads).
+    Dangling mass handling is unchanged (out_deg == 0 vertices).
+    """
+
+    name = "wpagerank"
+    # share IS the rank for the weighted variant (division happened at
+    # build time inside the transition weights)
+    ckpt_exclude = ["share"]
+
+    def rehydrate(self, state, oids, out_deg):
+        state["share"] = state["rank"].copy()
+        return state
+
+    def init(self, oids, out_deg):
+        state, partials = super().init(oids, out_deg)
+        state["share"] = state["rank"].copy()
+        return state, partials
+
+    def scatter(self, state, block, scalars):
+        share = state["share"]
+        if len(block["udst_pos"]) == 0:
+            return
+        per_edge = share[block["src_pos"]][block["src_code"]] * block["weight"]
+        sums = np.bincount(
+            block["dst_code"], weights=per_edge, minlength=len(block["udst_pos"])
+        )
+        if self.msg_dtype == "f4":
+            sums = sums.astype(np.float32)
+        tgt_ptr, pos = block["tgt_ptr"], block["udst_pos"]
+        for q in range(len(tgt_ptr) - 1):
+            lo, hi = tgt_ptr[q], tgt_ptr[q + 1]
+            if lo < hi:
+                yield q, pos[lo:hi], {"val": sums[lo:hi]}
+
+    def _finish(self, oids, out_deg, state, agg, scalars):
+        n_local = len(oids)
+        dangling = scalars["dangling"]
+        base = (1.0 - self.alpha) / self.n + self.alpha * dangling / self.n
+        new_rank = self.alpha * agg + base
+        partials = {
+            "dangling": float(new_rank[out_deg == 0].sum()),
+            "l1": float(np.abs(new_rank - state["rank"]).sum()),
+            "rank_sum": float(new_rank.sum()),
+        }
+        return {"rank": new_rank, "share": new_rank.copy()}, partials

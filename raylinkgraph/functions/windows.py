@@ -221,3 +221,138 @@ def sliding_window_count(
         .groupby("__p")
         .map_groups(count, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    events: rd.Dataset,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    buckets: int = 64,
+) -> rd.Dataset:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    funnel step completes, where step k must occur STRICTLY AFTER the
+    completion of step k-1 (the standard product-analytics funnel; at
+    web scale the same shape computes crawl-frontier progressions).
+
+    -> (user_id, depth, t0_us, t1_us, ... ) with epoch-microsecond int64
+    completion times (-1 = step never reached). One bucketed shuffle on
+    hash(user); per-group work is a vectorized min-scan per step, so the
+    cost is O(rows) regardless of funnel length. Exact integer output —
+    no float quantization needed for oracle parity.
+    """
+    from raylinkgraph.functions.hashing import partition_of
+
+    tcols = [f"t{i}_us" for i in range(len(steps))]
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[type_col].isin(steps)
+        b = batch.loc[m, [user_col, ts_col, type_col]].copy()
+        uid = b[user_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "uid": uid,
+                "ts_us": (b[ts_col] - pd.Timestamp(0))
+                // pd.Timedelta(microseconds=1),
+                "step": b[type_col].map({s: i for i, s in enumerate(steps)}),
+                "__b": partition_of(uid, buckets),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized step chain: len(steps) passes of (mask -> per-user
+        # min), no per-user Python loop — O(steps x rows) regardless of
+        # user count in the bucket.
+        uid = g["uid"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        st = g["step"].to_numpy(np.int64)
+        users = np.unique(uid)
+        code = np.searchsorted(users, uid)
+        nu = len(users)
+        times = np.full((len(steps), nu), -1, np.int64)
+        prev = np.full(nu, -1, np.int64)
+        for i in range(len(steps)):
+            m = st == i
+            if i > 0:
+                # step i must follow a REACHED step i-1 strictly in time
+                m &= (prev[code] >= 0) & (ts > prev[code])
+            if m.any():
+                t = np.full(nu, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(t, code[m], ts[m])
+                hit = t != np.iinfo(np.int64).max
+                times[i, hit] = t[hit]
+            prev = times[i]
+        depth = (times >= 0).sum(axis=0).astype(np.int64)
+        # depth counts the contiguous reached prefix by construction
+        cols = {"user_id": users, "depth": depth}
+        for i, c in enumerate(tcols):
+            cols[c] = times[i]
+        return pd.DataFrame(cols)
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def user_gap_stats(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    buckets: int = 64,
+) -> rd.Dataset:
+    """Per-user inter-event-time statistics over the ts-sorted stream:
+    (user_id, n, span_us, max_gap_us) — all exact int64 (epoch-microsecond
+    arithmetic), so the DuckDB LAG-window oracle matches bit-for-bit.
+    One bucketed shuffle on hash(user); per-group work is sort + diff.
+    Duplicate timestamps are fine: the multiset of consecutive gaps of a
+    sorted multiset is order-invariant.
+    """
+    from raylinkgraph.functions.hashing import partition_of
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch[user_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "uid": uid,
+                "ts_us": (batch[ts_col] - pd.Timestamp(0))
+                // pd.Timedelta(microseconds=1),
+                "__b": partition_of(uid, buckets),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # One lexsort + segment scan: no per-user Python loop.
+        uid = g["uid"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        is_new = np.r_[True, np.diff(uid) != 0]
+        users = uid[is_new]
+        code = np.cumsum(is_new) - 1
+        n = np.bincount(code)
+        first = ts[is_new]
+        last = ts[np.r_[is_new[1:], True]]
+        gaps = np.diff(ts)
+        within = ~is_new[1:]  # gap belongs to a user iff no boundary
+        max_gap = np.zeros(len(users), np.int64)
+        if within.any():
+            np.maximum.at(max_gap, code[1:][within], gaps[within])
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n": n.astype(np.int64),
+                "span_us": last - first,
+                "max_gap_us": max_gap,
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -829,3 +829,201 @@ def _jaccard_pairs(
             "score_e6": top["score_e6"].to_numpy(np.int64),
         }
     )
+
+
+def reciprocity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    buckets: int = 64,
+) -> pd.DataFrame:
+    """Edge reciprocity of a directed graph: the fraction of (deduplicated,
+    loop-free) directed edges whose reverse edge also exists — the classic
+    web-/social-graph mutual-link statistic (networkx.reciprocity
+    semantics over the whole graph).
+
+    One bucketed shuffle on the UNORDERED pair key hash(min,max): both
+    (u,v) and (v,u) land in the same group, where a vectorized sort +
+    segment scan decides mutuality. Nothing is broadcast and nothing is
+    collected besides per-bucket (n_edges, n_recip) partials, so the op
+    holds at web scale. Returns one row (n_edges, n_recip, recip_e6).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        check_u32(np.minimum(s, d), "reciprocity")
+        check_u32(np.maximum(s, d), "reciprocity")
+        pair = (np.minimum(s, d) << np.int64(32)) | np.maximum(s, d)
+        return pa.table(
+            {
+                "pair": pa.array(pair, pa.int64()),
+                "fwd": pa.array(s < d, pa.bool_()),
+                "bucket": pa.array(partition_of(pair, buckets), pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy(np.int64)
+        fwd = g["fwd"].to_numpy(np.bool_)
+        # dedup per direction, then count pairs present in both
+        enc = (pair << np.int64(1)) | fwd.astype(np.int64)
+        u = np.unique(enc)
+        n_edges = len(u)
+        upair = u >> np.int64(1)
+        # consecutive equal unordered keys with different direction bits
+        both = np.flatnonzero(upair[:-1] == upair[1:])
+        n_recip = 2 * len(both)
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    n_e = int(parts["n_edges"].sum())
+    n_r = int(parts["n_recip"].sum())
+    e6 = int(np.floor(1e6 * n_r / n_e + 0.5)) if n_e else 0
+    return pd.DataFrame({"n_edges": [n_e], "n_recip": [n_r], "recip_e6": [e6]})
+
+
+def quotient_graph(
+    edges: rd.Dataset,
+    src_map: rd.Dataset,
+    dst_map: rd.Dataset,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    buckets: int = 64,
+) -> rd.Dataset:
+    """Vertex-contraction / quotient graph: map every endpoint through a
+    (oid, grp) table and aggregate to (src_grp, dst_grp, n_edges) — the
+    page-graph -> host-graph aggregation every web-graph pipeline runs
+    (and GraphScope expresses as a label projection + groupby over
+    property graphs, python/graphscope/framework/graph.py:80-97).
+
+    Three bucketed exchanges total, each of ``buckets`` groups: resolve
+    src groups (hash(src) join), resolve dst groups (hash(dst) join),
+    fold counts (hash(pair) groupby with per-batch pre-combine). Mapping
+    tables are vertex-sized and travel sharded with the edges — nothing
+    is broadcast, so the contraction holds when both sides are web-scale.
+    ``grp`` may be any hashable dtype (string hosts, int nation keys).
+    Edge multiplicity: input edges are assumed deduplicated (LinkGraph
+    edge shards are), so n_edges counts distinct underlying pairs.
+    """
+
+    def resolve(oid_side: str, out_name: str):
+        """Per-group: rows carry (src,dst[,resolved cols]); mapping rows
+        carry (oid, grp). searchsorted lookup, total mapping required."""
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["__side"] == 1].sort_values("oid")
+            rows = g[g["__side"] == 0]
+            keys = m["oid"].to_numpy(np.int64)
+            grps = m["grp"].to_numpy()
+            k = rows[oid_side].to_numpy(np.int64)
+            pos = np.searchsorted(keys, k)
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
+            if len(keys) == 0 or not np.all(keys[pos] == k):
+                raise ValueError(
+                    "quotient_graph: mapping is not total for column "
+                    f"{oid_side!r}"
+                )
+            out = rows.drop(columns=["__side", "oid", "grp", "bucket"],
+                            errors="ignore").copy()
+            out[out_name] = grps[pos]
+            return out
+
+        return f
+
+    # Every union side emits the SAME column set (ints padded with -1,
+    # object columns with None) so pandas-block unions never coerce the
+    # int64 id columns to float64 (which would silently degrade ids past
+    # 2^53 at web scale).
+    def tag_rows(key: str, extra: list[str]):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            k = b[key].to_numpy(np.int64)
+            out = {
+                "src": b["src"].to_numpy(np.int64)
+                if "src" in b.columns
+                else b[src_col].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64)
+                if "dst" in b.columns
+                else b[dst_col].to_numpy(np.int64),
+                "oid": np.full(n, -1, np.int64),
+                "grp": np.full(n, None, object),
+                "__side": np.zeros(n, np.int8),
+                "bucket": partition_of(k, buckets).astype(np.int32),
+            }
+            for c in extra:
+                out[c] = b[c].to_numpy()
+            return pd.DataFrame(out)
+
+        return f
+
+    def tag_map(b: pd.DataFrame, extra: list[str]) -> pd.DataFrame:
+        n = len(b)
+        oid = b["oid"].to_numpy(np.int64)
+        out = {
+            "src": np.full(n, -1, np.int64),
+            "dst": np.full(n, -1, np.int64),
+            "oid": oid,
+            "grp": b["grp"].to_numpy(object),
+            "__side": np.ones(n, np.int8),
+            "bucket": partition_of(oid, buckets).astype(np.int32),
+        }
+        for c in extra:
+            out[c] = np.full(n, None, object)
+        return pd.DataFrame(out)
+
+    s_resolved = (
+        edges.map_batches(tag_rows(src_col, []), batch_format="pandas")
+        .union(src_map.map_batches(lambda b: tag_map(b, []), batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(resolve("src", "src_grp"), batch_format="pandas")
+    )
+    d_resolved = (
+        s_resolved.map_batches(tag_rows("dst", ["src_grp"]), batch_format="pandas")
+        .union(
+            dst_map.map_batches(
+                lambda b: tag_map(b, ["src_grp"]), batch_format="pandas"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(resolve("dst", "dst_grp"), batch_format="pandas")
+    )
+
+    def precombine(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby(["src_grp", "dst_grp"], sort=True)
+            .size()
+            .reset_index(name="n_edges")
+        )
+        out["bucket"] = (
+            pd.util.hash_pandas_object(
+                out["src_grp"].astype(str) + "\x1f" + out["dst_grp"].astype(str),
+                index=False,
+            ).to_numpy(np.uint64)
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["src_grp", "dst_grp"], sort=True)["n_edges"]
+            .sum()
+            .reset_index()
+        )
+        out["n_edges"] = out["n_edges"].astype(np.int64)
+        return out
+
+    return (
+        d_resolved.map_batches(precombine, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

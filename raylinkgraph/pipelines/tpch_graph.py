@@ -180,6 +180,44 @@ def pp_weighted_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     )
 
 
+def pp_transition_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
+    """Symmetric pp co-order edges with PRE-NORMALIZED transition weights
+    t(u,v) = w(u,v) / Σ_x w(u,x) for WeightedPageRank: one extra bucketed
+    groupby on hash(src) computes each vertex's total out-weight locally
+    (src's edges are co-grouped) and divides in place — the classic
+    "row-normalize the adjacency matrix" preprocessing, done as a
+    streaming exchange instead of a matrix pass. Weights w are integer
+    co-order counts, so t is one exact double division per edge and the
+    DuckDB oracle reproduces it bit-for-bit (w/sw on the same ints)."""
+    und = pp_weighted_edges(sf_dir, buckets=buckets)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("src_id").to_numpy(zero_copy_only=False)
+        v = batch.column("dst_id").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        src = np.concatenate([u, v])
+        return pa.table(
+            {
+                "src_id": pa.array(src, pa.int64()),
+                "dst_id": pa.array(np.concatenate([v, u]), pa.int64()),
+                "weight": pa.array(np.concatenate([w, w]), pa.float64()),
+                "nbkt": pa.array(partition_of(src, buckets), pa.int32()),
+            }
+        )
+
+    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+        sw = g.groupby("src_id")["weight"].transform("sum")
+        out = g[["src_id", "dst_id"]].copy()
+        out["weight"] = g["weight"].to_numpy() / sw.to_numpy()
+        return out
+
+    return (
+        und.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby("nbkt")
+        .map_groups(normalize, batch_format="pandas")
+    )
+
+
 def pp_edges(sf_dir: str, *, buckets: int = 64) -> rd.Dataset:
     """part -- part co-order pairs (u < v), deduplicated downstream.
 
@@ -323,6 +361,11 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
         elif kind == "ppw":
             g = LinkGraph.build(
                 pp_weighted_edges(sf_dir), gdir, P=P, symmetrize=True,
+                weight_col="weight",
+            )
+        elif kind == "ppt":
+            g = LinkGraph.build(
+                pp_transition_edges(sf_dir), gdir, P=P, symmetrize=False,
                 weight_col="weight",
             )
         elif kind == "pps":
