@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+
 import ray.data as rd
 
 from raylinkgraph.algos import CDLP, WCC, PageRank
@@ -102,3 +104,26 @@ def run_cdlp(graph: LinkGraph, workdir: str, *, max_rounds=10, **kw) -> BSPResul
     if not graph.meta.get("symmetrize"):
         raise ValueError("CDLP requires a symmetrized graph (undirected_view)")
     return run_bsp(graph, CDLP(max_rounds=max_rounds), workdir, max_rounds=max_rounds, **kw)
+
+
+def host_graph(
+    graph: LinkGraph, vmap: rd.Dataset, *, buckets: int = 64
+) -> rd.Dataset:
+    """Host-level aggregation of a page link graph: contract every page
+    vertex to its URL host and count distinct page-level edges per
+    (src_host, dst_host) — the Common-Crawl host/domain-graph product
+    (the reference's analogue is label projection + groupby over a
+    property graph). Host extraction is one vectorized string split over
+    the sharded vertex map; the contraction is graph_ops.quotient_graph
+    (three bucketed exchanges, nothing broadcast)."""
+    import pyarrow.compute as pc
+
+    from raylinkgraph.pipelines.graph_ops import quotient_graph
+
+    def to_host(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("url"), "/")
+        host = pc.list_element(parts, 2)  # scheme:, '', host, path...
+        return pa.table({"oid": batch.column("gid"), "grp": host})
+
+    hosts = vmap.map_batches(to_host, batch_format="pyarrow")
+    return quotient_graph(graph.edges_ds(), hosts, hosts, buckets=buckets)

@@ -213,3 +213,46 @@ def test_weighted_pagerank_dense_oracle(ray_session, tmp_root):
     for _ in range(rounds):
         rank = alpha * (rank @ T) + (1 - alpha) / n
     assert np.abs(got["rank"].to_numpy() - rank).max() < 1e-12
+
+
+def test_host_graph_ground_truth(ray_session, tmp_root):
+    """pages -> link graph -> host contraction must equal PageGen's
+    ground-truth (src_url, dst_url) set aggregated by site host."""
+    from raylinkgraph.pipelines.linkgraph import (
+        build_linkgraph_from_pages,
+        host_graph,
+    )
+    from raylinkgraph.schema import PageGen
+    from raylinkgraph.sources.pages import generate_pages_parquet
+
+    n = 400
+    pages = os.path.join(tmp_root, "hostg-pages")
+    generate_pages_parquet(pages, n, seed=42)
+    graph, vmap = build_linkgraph_from_pages(
+        pages, os.path.join(tmp_root, "hostg-pipe"), P=4,
+        extract_concurrency=(1, 2), write_text_table=False,
+    )
+    got = (
+        host_graph(graph, vmap)
+        .to_pandas()
+        .sort_values(["src_grp", "dst_grp"])
+        .reset_index(drop=True)
+    )
+
+    def host(url):
+        return url.split("/")[2]
+
+    truth = {}
+    for s, d in PageGen(n, 42).true_edge_pairs():
+        truth[(host(s), host(d))] = truth.get((host(s), host(d)), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(a, b, c) for (a, b), c in truth.items()],
+            columns=["src_grp", "dst_grp", "n_edges"],
+        )
+        .sort_values(["src_grp", "dst_grp"])
+        .reset_index(drop=True)
+    )
+    assert got.astype({"n_edges": np.int64}).equals(
+        want.astype({"n_edges": np.int64})
+    )
