@@ -2853,6 +2853,42 @@ def q_events_user_gaps(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+N2V_LEN, N2V_WR, N2V_WI, N2V_WO = 4, 2, 4, 1
+
+
+def q_graph_node2vec(sf_dir):
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016) on
+    the bounded symmetric pps co-order graph: integer weights (return 2,
+    in-edge 4, out 1 ~ p=2, q=4 scaled), deterministic congruential
+    cumsum selector — replayed exactly by the unrolled SQL oracle
+    (window cumsum over the id-sorted candidate set + the same modulus).
+    algos/walks.node2vec_walks: three bucketed exchanges per hop."""
+    import ray.data as rd
+
+    from raylinkgraph.algos.walks import node2vec_walks
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pps")
+    ed = g.edges_ds()
+    sym = ed.union(
+        ed.map_batches(
+            lambda b: pd.DataFrame(
+                {"src_id": b["dst_id"].to_numpy(np.int64),
+                 "dst_id": b["src_id"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    )
+    out = node2vec_walks(
+        sym, walk_len=N2V_LEN, wr=N2V_WR, wi=N2V_WI, wo=N2V_WO, seed_mod=20
+    ).to_pandas()
+    return (
+        out.astype(np.int64)
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
 def q_pages_host_graph(sf_dir):
     """Host/domain graph of the flagship synthetic pages link graph
     (the Common-Crawl host-graph product): contract every page vertex to
@@ -2926,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_user_gaps": q_events_user_gaps,
         "pages_host_graph": q_pages_host_graph,
+        "graph_node2vec": q_graph_node2vec,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -3215,6 +3252,58 @@ SELECT user_id, COUNT(*) AS n, (MAX(t) - MIN(t)) AS span_us,
        COALESCE(MAX(gap), 0) AS max_gap_us
 FROM g GROUP BY user_id ORDER BY user_id
 """
+
+
+def _node2vec_sql(walk_len: int, wr: int, wi: int, wo: int,
+                  seed_mod: int) -> str:
+    """Unrolled node2vec replay on the bounded pps graph: per step, the
+    candidate set is cur's id-sorted adjacency with integer weights
+    (wr return / wi in-edge / wo out); the window cumsum + the engine's
+    congruential selector mod the per-walk total picks the next vertex.
+    Step 1 is the uniform first-order pick (rn = selector mod deg)."""
+    sel = "((f.wid % 97) * 131 + {step} * 31 + f.cur % 1000003)"
+    ctes = [
+        f"pedges AS MATERIALIZED ({_PPS_EDGES})",
+        "e AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+        "UNION SELECT v, u FROM pedges)",
+        "adj AS MATERIALIZED (SELECT s, d, "
+        "COUNT(*) OVER (PARTITION BY s) AS deg, "
+        "ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) - 1 AS rn FROM e)",
+        f"seeds AS (SELECT DISTINCT s AS wid FROM e WHERE s % {seed_mod} = 0)",
+        "f1 AS MATERIALIZED (SELECT sd.wid, a.s AS prev, a.d AS cur "
+        "FROM seeds sd JOIN adj a ON a.s = sd.wid AND a.rn = "
+        "((sd.wid % 97) * 131 + 1 * 31 + a.s % 1000003) % a.deg)",
+    ]
+    for k in range(2, walk_len + 1):
+        r = sel.format(step=k)
+        ctes.append(
+            f"cand{k} AS (SELECT f.wid, f.prev, f.cur, a.d AS x, "
+            f"CASE WHEN a.d = f.prev THEN {wr} "
+            f"WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.s = f.prev "
+            f"AND pe.d = a.d) THEN {wi} ELSE {wo} END AS w "
+            f"FROM f{k-1} f JOIN adj a ON a.s = f.cur)"
+        )
+        ctes.append(
+            f"sel{k} AS (SELECT wid, prev, cur, x, w, "
+            f"SUM(w) OVER (PARTITION BY wid ORDER BY x) AS cw, "
+            f"SUM(w) OVER (PARTITION BY wid) AS tw FROM cand{k})"
+        )
+        rf = f"((f.wid % 97) * 131 + {k} * 31 + f.cur % 1000003) % f.tw"
+        ctes.append(
+            f"f{k} AS MATERIALIZED (SELECT f.wid, f.cur AS prev, f.x AS cur "
+            f"FROM sel{k} f WHERE {rf} >= f.cw - f.w AND {rf} < f.cw)"
+        )
+    outs = ["SELECT wid AS walk_id, CAST(0 AS BIGINT) AS step, "
+            "wid AS vertex FROM seeds"]
+    for k in range(1, walk_len + 1):
+        outs.append(
+            f"SELECT wid, CAST({k} AS BIGINT), cur FROM f{k}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(outs)
+        + "\nORDER BY walk_id, step"
+    )
 
 
 _CONV_OK = "(SELECT ok FROM _conv) = 1"
@@ -4948,6 +5037,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_quotient": _QUOTIENT_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_user_gaps": _USER_GAPS_SQL,
+        "graph_node2vec": _node2vec_sql(N2V_LEN, N2V_WR, N2V_WI, N2V_WO, 20),
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (

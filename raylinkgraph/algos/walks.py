@@ -270,3 +270,252 @@ def khop_sample(
     for f in out_frames[1:]:
         ds = ds.union(f)
     return ds.repartition(_B)
+
+
+def node2vec_walks(
+    edges: rd.Dataset,
+    *,
+    walk_len: int,
+    wr: int = 2,
+    wi: int = 4,
+    wo: int = 1,
+    seed_mod: int = 1,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> rd.Dataset:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016 §3.2):
+    the next vertex x from cur with memory of prev is drawn with
+    unnormalized weight
+
+        wr  if x == prev           (return,   ~ 1/p scaled to integers)
+        wi  if edge (prev, x)      (in/BFS-ish)
+        wo  otherwise              (out/DFS-ish, ~ 1/q)
+
+    made deterministic + SQL-replayable: candidates are the id-sorted
+    adjacency of cur; r = ((walk_id%97)*131 + step*31 + cur%1000003)
+    mod W (W = total integer weight) selects the candidate whose
+    cumulative-weight interval [cw - w, cw) contains r — a window-cumsum
+    replay in ANSI SQL, no floats, no 64-bit overflow. Step 1 has no
+    prev and is the uniform first-order pick (same selector mod deg).
+    One walk per seed vertex (id % seed_mod == 0); walk_id = seed.
+
+    Scale shape: per hop, THREE bucketed exchanges (all of ``_B``
+    groups) — (1) hash(cur): frontier meets cur's adjacency run and
+    expands to candidate rows; (2) hash(prev): candidates meet prev's
+    adjacency run for the (prev, x) membership test (vectorized
+    searchsorted against the bucket's sorted edge block); (3)
+    hash(walk_id): each walk's candidate set folds to one pick via the
+    integer cumsum rule. Candidate volume per hop is Σ deg(cur) over the
+    frontier — the inherent node2vec cost; nothing is broadcast and the
+    walk state (walk_id, prev, cur) is O(#walks).
+    -> (walk_id, step, vertex) rows like random_walks.
+    """
+
+    def bucket_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(np.int64)
+        d = b[dst_col].to_numpy(np.int64)
+        n = len(s)
+        return pd.DataFrame({"s": s, "d": d, "side": np.int8(0),
+                             "w": np.full(n, -1, np.int64),
+                             "prev": np.full(n, -1, np.int64),
+                             "__p": partition_of(s, _B)})
+
+    edges_tagged = edges.map_batches(
+        bucket_edges, batch_format="pandas"
+    ).materialize()
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b[src_col].to_numpy(np.int64))
+        u = u[u % seed_mod == 0]
+        return pd.DataFrame({"u": u, "__p": partition_of(u, _B)})
+
+    def seed_fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["u"].to_numpy(np.int64))
+        return pd.DataFrame({"s": u, "d": np.int64(-1), "side": np.int8(1),
+                             "w": u, "prev": np.int64(-1),
+                             "__p": partition_of(u, _B)})
+
+    frontier = (
+        edges.map_batches(seed_partial, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(seed_fold, batch_format="pandas")
+        .materialize()
+    )
+    out_frames = [
+        frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {"walk_id": b["w"].to_numpy(np.int64),
+                 "step": np.int64(0),
+                 "vertex": b["s"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    ]
+    _fr_empty = pd.DataFrame(
+        {"walk_id": pd.Series([], dtype=np.int64),
+         "step": pd.Series([], dtype=np.int64),
+         "prev": pd.Series([], dtype=np.int64),
+         "vertex": pd.Series([], dtype=np.int64)}
+    )
+
+    # ---- step 1: uniform first-order pick (no prev) -------------------
+    def first_hop(g: pd.DataFrame) -> pd.DataFrame:
+        ee = g[g["side"] == 0].drop_duplicates(["s", "d"]).sort_values(["s", "d"])
+        ff = g[g["side"] == 1]
+        if not len(ee) or not len(ff):
+            return _fr_empty
+        es, ed = ee["s"].to_numpy(np.int64), ee["d"].to_numpy(np.int64)
+        cur = ff["s"].to_numpy(np.int64)
+        wid = ff["w"].to_numpy(np.int64)
+        lo = np.searchsorted(es, cur, side="left")
+        deg = np.searchsorted(es, cur, side="right") - lo
+        live = deg > 0
+        if not live.any():
+            return _fr_empty
+        lo, deg, cur, wid = lo[live], deg[live], cur[live], wid[live]
+        idx = _pick(wid, 1, cur, deg)
+        return pd.DataFrame({"walk_id": wid, "step": np.int64(1),
+                             "prev": cur, "vertex": ed[lo + idx]})
+
+    state = (
+        edges_tagged.union(frontier)
+        .groupby("__p")
+        .map_groups(first_hop, batch_format="pandas")
+        .materialize()
+    )
+    out_frames.append(state.select_columns(["walk_id", "step", "vertex"]))
+
+    _cand_empty = pd.DataFrame(
+        {"walk_id": pd.Series([], dtype=np.int64),
+         "prev": pd.Series([], dtype=np.int64),
+         "cur": pd.Series([], dtype=np.int64),
+         "x": pd.Series([], dtype=np.int64),
+         "is_ret": pd.Series([], dtype=np.int8),
+         "is_edge": pd.Series([], dtype=np.int8),
+         "__p": pd.Series([], dtype=np.int32)}
+    )
+
+    for step in range(2, walk_len + 1):
+        # (1) expand candidates at hash(cur)
+        def to_frontier(b: pd.DataFrame) -> pd.DataFrame:
+            cur = b["vertex"].to_numpy(np.int64)
+            n = len(cur)
+            return pd.DataFrame({"s": cur, "d": np.full(n, -1, np.int64),
+                                 "side": np.int8(1),
+                                 "w": b["walk_id"].to_numpy(np.int64),
+                                 "prev": b["prev"].to_numpy(np.int64),
+                                 "__p": partition_of(cur, _B)})
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            ee = g[g["side"] == 0].drop_duplicates(["s", "d"]).sort_values(["s", "d"])
+            ff = g[g["side"] == 1]
+            if not len(ee) or not len(ff):
+                return _cand_empty
+            es, ed = ee["s"].to_numpy(np.int64), ee["d"].to_numpy(np.int64)
+            cur = ff["s"].to_numpy(np.int64)
+            wid = ff["w"].to_numpy(np.int64)
+            prv = ff["prev"].to_numpy(np.int64)
+            lo = np.searchsorted(es, cur, side="left")
+            deg = np.searchsorted(es, cur, side="right") - lo
+            live = deg > 0
+            if not live.any():
+                return _cand_empty
+            lo, deg = lo[live], deg[live]
+            cur, wid, prv = cur[live], wid[live], prv[live]
+            rep = np.repeat(np.arange(len(cur)), deg)
+            base = np.repeat(np.cumsum(deg) - deg, deg)
+            x = ed[np.repeat(lo, deg) + (np.arange(len(rep)) - base)]
+            prv_r = prv[rep]
+            return pd.DataFrame(
+                {"walk_id": wid[rep], "prev": prv_r, "cur": cur[rep],
+                 "x": x,
+                 "is_ret": (x == prv_r).astype(np.int8),
+                 "is_edge": np.zeros(len(rep), np.int8),
+                 "__p": partition_of(prv_r, _B)})
+
+        cands = (
+            state.map_batches(to_frontier, batch_format="pandas")
+            .union(edges_tagged)
+            .groupby("__p")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        # (2) membership test (prev, x) at hash(prev)
+        def mark_edges(g: pd.DataFrame) -> pd.DataFrame:
+            ee = g[g["side"] == 0].drop_duplicates(["s", "d"]).sort_values(["s", "d"])
+            cc = g[g["side"] == 1]
+            if not len(cc):
+                return _cand_empty
+            out = cc.drop(columns=["s", "d", "side", "w", "__p"],
+                          errors="ignore").copy()
+            if len(ee):
+                enc_e = ee["s"].to_numpy(np.int64) * np.int64(1 << 31) + \
+                    ee["d"].to_numpy(np.int64)
+                enc_c = out["prev"].to_numpy(np.int64) * np.int64(1 << 31) + \
+                    out["x"].to_numpy(np.int64)
+                pos = np.searchsorted(enc_e, enc_c)
+                pos = np.minimum(pos, len(enc_e) - 1)
+                out["is_edge"] = (enc_e[pos] == enc_c).astype(np.int8)
+            out["__p"] = partition_of(out["walk_id"].to_numpy(np.int64), _B)
+            return out
+
+        def cand_side(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["s"] = b["prev"]
+            b["d"] = np.int64(-1)
+            b["side"] = np.int8(1)
+            b["w"] = np.int64(-1)
+            return b
+
+        marked = (
+            cands.map_batches(cand_side, batch_format="pandas")
+            .union(
+                edges_tagged.map_batches(
+                    lambda b: b.assign(
+                        walk_id=np.int64(-1), cur=np.int64(-1),
+                        x=np.int64(-1), is_ret=np.int8(0), is_edge=np.int8(0),
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            .groupby("__p")
+            .map_groups(mark_edges, batch_format="pandas")
+        )
+
+        # (3) fold per walk: integer cumsum pick
+        def pick(g: pd.DataFrame, step=step) -> pd.DataFrame:
+            if not len(g):
+                return _fr_empty
+            g = g.sort_values(["walk_id", "x"], kind="mergesort")
+            wid = g["walk_id"].to_numpy(np.int64)
+            x = g["x"].to_numpy(np.int64)
+            cur = g["cur"].to_numpy(np.int64)
+            w = np.where(g["is_ret"].to_numpy(np.int8) == 1, wr,
+                         np.where(g["is_edge"].to_numpy(np.int8) == 1, wi, wo)
+                         ).astype(np.int64)
+            is_new = np.r_[True, np.diff(wid) != 0]
+            start_idx = np.flatnonzero(is_new)
+            seg_len = np.diff(np.r_[start_idx, len(w)])
+            cw = np.cumsum(w)
+            # inclusive per-walk cumsum: subtract the running total at
+            # each walk's first row
+            cw0 = np.repeat(cw[start_idx] - w[start_idx], seg_len)
+            cws = cw - cw0
+            last_idx = np.r_[start_idx[1:], len(w)] - 1
+            Wrep = np.repeat(cws[last_idx], seg_len)  # per-walk totals
+            r = ((wid % 97) * 131 + step * 31 + cur % 1000003) % Wrep
+            sel = (cws - w <= r) & (r < cws)
+            return pd.DataFrame(
+                {"walk_id": wid[sel], "step": np.int64(step),
+                 "prev": cur[sel], "vertex": x[sel]})
+
+        state = (
+            marked.groupby("__p").map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+        out_frames.append(state.select_columns(["walk_id", "step", "vertex"]))
+
+    ds = out_frames[0]
+    for f in out_frames[1:]:
+        ds = ds.union(f)
+    return ds.repartition(_B)

@@ -49,3 +49,88 @@ def test_walks_stop_at_sinks(ray_session):
     got = random_walks(rd.from_pandas(e), walk_len=5).to_pandas()
     walk0 = got[got["walk_id"] == 0].sort_values("step")
     assert walk0["vertex"].tolist() == [0, 1, 2]
+
+
+def test_node2vec_sequential_replay(ray_session):
+    """Distributed node2vec walks == single-process sequential replay of
+    the spec (uniform first hop; integer-weight cumsum pick after)."""
+    from raylinkgraph.algos.walks import node2vec_walks
+
+    rng = np.random.default_rng(2)
+    m = 300
+    u = rng.integers(0, 40, m)
+    v = rng.integers(0, 40, m)
+    keep = u != v
+    e = pd.DataFrame({"src_id": u[keep], "dst_id": v[keep]}).drop_duplicates()
+    sym = pd.concat(
+        [e, e.rename(columns={"src_id": "dst_id", "dst_id": "src_id"})]
+    ).drop_duplicates()
+    WL, WR, WI, WO = 5, 2, 4, 1
+    got = (
+        node2vec_walks(
+            rd.from_pandas(sym), walk_len=WL, wr=WR, wi=WI, wo=WO, seed_mod=4
+        )
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+    adj, eset = {}, set()
+    for s, d in sym[["src_id", "dst_id"]].itertuples(index=False):
+        adj.setdefault(int(s), []).append(int(d))
+        eset.add((int(s), int(d)))
+    for k in adj:
+        adj[k] = sorted(set(adj[k]))
+    rows = []
+    for wid in sorted(x for x in adj if x % 4 == 0):
+        cur, prev = wid, -1
+        rows.append((wid, 0, cur))
+        for step in range(1, WL + 1):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            r = ((wid % 97) * 131 + step * 31 + cur % 1000003)
+            if step == 1:
+                nxt = nbrs[r % len(nbrs)]
+            else:
+                ws = [
+                    WR if x == prev else (WI if (prev, x) in eset else WO)
+                    for x in nbrs
+                ]
+                rr, cw = r % sum(ws), 0
+                for x, wgt in zip(nbrs, ws):
+                    cw += wgt
+                    if rr < cw:
+                        nxt = x
+                        break
+            rows.append((wid, step, nxt))
+            prev, cur = cur, nxt
+    bf = (
+        pd.DataFrame(rows, columns=["walk_id", "step", "vertex"])
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(np.int64).equals(bf.astype(np.int64))
+
+
+def test_node2vec_partition_invariance(ray_session):
+    from raylinkgraph.algos.walks import node2vec_walks
+
+    rng = np.random.default_rng(9)
+    u = rng.integers(0, 30, 200)
+    v = rng.integers(0, 30, 200)
+    keep = u != v
+    e = pd.DataFrame({"src_id": u[keep], "dst_id": v[keep]}).drop_duplicates()
+    sym = pd.concat(
+        [e, e.rename(columns={"src_id": "dst_id", "dst_id": "src_id"})]
+    ).drop_duplicates()
+    a = (
+        node2vec_walks(rd.from_pandas(sym), walk_len=3, seed_mod=3)
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    b = (
+        node2vec_walks(rd.from_pandas(sym).repartition(11), walk_len=3,
+                       seed_mod=3)
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    assert a.astype(np.int64).equals(b.astype(np.int64))
