@@ -2853,6 +2853,92 @@ def q_events_user_gaps(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+PCA_K = 4
+
+
+def q_emb_pca(sf_dir):
+    """Distributed PCA over the embeddings table (two streaming passes:
+    per-batch (X^T X, Σx, n) moment partials -> driver-side d x d
+    eigendecomposition -> broadcast-basis projection;
+    functions/similarity.pca_project). Rows-only for the driver
+    (eigendecomposition is not ANSI-SQL); exactness is pinned by the
+    full-numpy PCA pytest at 1e-9."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import pca_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    proj, comps, ev = pca_project(emb, n_components=PCA_K)
+    out = proj.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    for i in range(PCA_K):
+        out[f"pc{i}_e6"] = np.floor(out[f"pc{i}"] * 1e6 + 0.5).astype(np.int64)
+    return out[["vec_id"] + [f"pc{i}_e6" for i in range(PCA_K)]]
+
+
+def q_rel_nation_revenue(sf_dir):
+    """TPC-H Q5-shaped multiway join: lineitem x orders x customer x
+    supplier, local-supply filter (c_nationkey = s_nationkey), revenue
+    per nation. Three composed bucketed hash joins
+    (functions/joins.hash_join); per-line revenue is quantized to
+    integer cents BEFORE summation so the aggregate is an order-free
+    integer sum — hash-exact vs the SQL oracle."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "rev_c": np.floor(
+                    b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 100.0
+                    + 0.5
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j = hash_join(j, cust, on="o_custkey", right_on="c_custkey")
+    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_nationkey"] == b["s_nationkey"]]
+        out = (
+            b.groupby("c_nationkey", sort=True)
+            .agg(n_lines=("rev_c", "size"), revenue_c=("rev_c", "sum"))
+            .reset_index()
+        )
+        return out.rename(columns={"c_nationkey": "nation"})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("nation", sort=True)
+        .agg(n_lines=("n_lines", "sum"), revenue_c=("revenue_c", "sum"))
+        .reset_index()
+    )
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    return out
+
+
 N2V_LEN, N2V_WR, N2V_WI, N2V_WO = 4, 2, 4, 1
 
 
@@ -2963,6 +3049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": q_events_user_gaps,
         "pages_host_graph": q_pages_host_graph,
         "graph_node2vec": q_graph_node2vec,
+        "emb_pca": q_emb_pca,
+        "rel_nation_revenue": q_rel_nation_revenue,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5038,6 +5126,16 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "events_user_gaps": _USER_GAPS_SQL,
         "graph_node2vec": _node2vec_sql(N2V_LEN, N2V_WR, N2V_WI, N2V_WO, 20),
+        "rel_nation_revenue": (
+            "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "
+            "+ 0.5) AS BIGINT)) AS revenue_c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE c_nationkey = s_nationkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "graph_walks": _walks_sql(WALK_LEN),
         "graph_skipgram_pairs": _skipgram_sql(WALK_LEN, SKIPGRAM_WIN),
         "events_sliding_counts": (

@@ -592,3 +592,72 @@ def semantic_dedup(
         .groupby("cell")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+def pca_project(
+    embeddings: rd.Dataset,
+    *,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
+    """Distributed PCA over an embedding column: two streaming passes.
+
+    Pass 1 accumulates the (d, d) second-moment matrix and the mean as
+    per-batch partials (each batch contributes X^T X, Σx, n — a few KB
+    per batch regardless of row count); the covariance eigendecomposition
+    happens on the driver at O(d^3), d = embedding width (tiny). Pass 2
+    projects every row onto the top components via one matmul per batch
+    with the broadcast (d, k) basis — the standard scalable-PCA shape
+    (no row ever leaves its block, nothing corpus-sized on the driver).
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive (eigh is sign-ambiguous).
+    -> (projected Dataset (id_col, pc0..pc{k-1}), components (k, d),
+    explained_variance (k,)).
+    """
+    import ray
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        m = _to_matrix(batch.column(vec_col))
+        return pd.DataFrame(
+            {
+                "n": [float(len(m))],
+                "sx": [m.sum(axis=0).tobytes()],
+                "xtx": [(m.T @ m).tobytes()],
+            }
+        )
+
+    parts = embeddings.map_batches(moments, batch_format="pyarrow").to_pandas()
+    d = int(np.sqrt(len(np.frombuffer(parts["xtx"].iloc[0]))))
+    n = float(parts["n"].sum())
+    sx = np.sum([np.frombuffer(b) for b in parts["sx"]], axis=0)
+    xtx = np.sum(
+        [np.frombuffer(b).reshape(d, d) for b in parts["xtx"]], axis=0
+    )
+    mean = sx / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ev = evals[order]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        mu, c = ray.get(ref)
+        m = _to_matrix(batch.column(vec_col))
+        proj = (m - mu) @ c.T
+        out = {id_col: batch.column(id_col).to_numpy(zero_copy_only=False)}
+        for i in range(proj.shape[1]):
+            out[f"pc{i}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return (
+        embeddings.map_batches(project, batch_format="pyarrow"),
+        comps,
+        ev,
+    )
