@@ -2939,6 +2939,26 @@ def q_rel_nation_revenue(sf_dir):
     return out
 
 
+def q_pages_anchor_texts(sf_dir):
+    """Anchor-text aggregation over the flagship synthetic pages corpus:
+    (dst_url, anchor, n) — the off-page text signal web search engines
+    attribute to each target (actor-pool anchor parse + one
+    hash(dst_url)-bucketed fold; stages/extract_stage.anchor_text_counts).
+    Rows-only driver check; exactness pinned by the PageGen ground-truth
+    pytest (anchors are deterministic 'to {id}' strings)."""
+    import ray.data as rd
+
+    from raylinkgraph.sources.pages import generate_pages_parquet
+    from raylinkgraph.stages.extract_stage import anchor_text_counts
+
+    root = "/tmp/raylinkgraph_entry"
+    pages_dir = os.path.join(root, "pages")
+    generate_pages_parquet(pages_dir, 2000, seed=42)
+    out = anchor_text_counts(rd.read_parquet(pages_dir)).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["dst_url", "anchor"]).reset_index(drop=True)
+
+
 N2V_LEN, N2V_WR, N2V_WI, N2V_WO = 4, 2, 4, 1
 
 
@@ -3051,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_node2vec": q_graph_node2vec,
         "emb_pca": q_emb_pca,
         "rel_nation_revenue": q_rel_nation_revenue,
+        "pages_anchor_texts": q_pages_anchor_texts,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,

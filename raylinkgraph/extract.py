@@ -183,3 +183,62 @@ def extract_auto(html: bytes, base_url: str = "") -> tuple[str, list[str]]:
     byte-identical to extract()."""
     fast = extract_fast(html, base_url)
     return fast if fast is not None else extract(html, base_url)
+
+
+class _AnchorExtractor(HTMLParser):
+    """(href, anchor-text) collector for anchor-signal pipelines.
+
+    Separate from the pinned ``_Extractor`` so the byte-parity text
+    invariant stays frozen: this parser records the visible character
+    data INSIDE each <a href=...> element (nested tags included,
+    entity-decoded), paired with the raw href. Nested anchors are not
+    valid HTML; an <a> opening inside an open <a> closes the previous
+    one (the html5 parse behavior)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, "".join(self._buf)))
+        self._href, self._buf = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._flush()
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._href = value
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+
+def extract_anchors(html: bytes, base_url: str = "") -> list[tuple[str, str]]:
+    """html bytes -> [(normalized dst url, whitespace-normalized anchor
+    text)], same URL canonicalization + drop rules as extract()."""
+    parser = _AnchorExtractor()
+    parser.feed(html.decode("utf-8", errors="replace"))
+    parser.close()
+    parser._flush()
+    out: list[tuple[str, str]] = []
+    for href, anchor in parser.pairs:
+        try:
+            resolved = urljoin(base_url, href)
+        except ValueError:
+            continue
+        norm = normalize_url(resolved)
+        if norm is None:
+            continue
+        a = _WS_RE.sub(" ", anchor).strip()
+        out.append((norm, unicodedata.normalize("NFC", a)))
+    return out

@@ -94,3 +94,85 @@ def link_pairs(extracted: rd.Dataset) -> rd.Dataset:
     return extracted.select_columns(["url", "links"]).map_batches(
         explode, batch_format="pyarrow"
     )
+
+
+class ExtractAnchorPairs:
+    """pages(url, html) -> (src_url, dst_url, anchor) rows — the anchor
+    text signal (how web search attributes off-page text to a target
+    document). Actor-pool stage: parser state per actor, html dropped on
+    output. Self-links dropped to mirror link_pairs."""
+
+    def __init__(self) -> None:
+        from raylinkgraph.extract import extract_anchors
+
+        self._extract = extract_anchors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            for dst, anchor in self._extract(html, url):
+                if dst != url:
+                    srcs.append(url)
+                    dsts.append(dst)
+                    anchors.append(anchor)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+
+def anchor_text_counts(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 256,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """(dst_url, anchor, n): how often each exact anchor string points at
+    each target url across the corpus. Per-batch pre-combine, then ONE
+    hash(dst_url)-bucketed fold — anchors travel with their rows, nothing
+    is broadcast (the at-scale anchor-signal aggregation)."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = pages.select_columns(["url", "html"]).map_batches(
+        ExtractAnchorPairs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def precombine(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby(["dst_url", "anchor"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["__p"] = (
+            pd.util.hash_pandas_object(out["dst_url"], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["dst_url", "anchor"], sort=True)["n"].sum().reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        pairs.map_batches(precombine, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )

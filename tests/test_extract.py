@@ -1,4 +1,8 @@
-"""Extractor spec tests (FIXTURES.md §B2) — pure, no Ray needed."""
+"""Extractor spec tests (FIXTURES.md §B2) — pure, no Ray needed
+(anchor aggregation tests at the bottom use the Ray fixture)."""
+
+import numpy as np
+import pandas as pd
 
 from raylinkgraph.extract import extract, normalize_url
 from raylinkgraph.schema import PageGen
@@ -69,3 +73,62 @@ def _fresh_site(g, i):
     from raylinkgraph.schema import _target_site
 
     return _target_site(i, g.n_pages, g.n_sites, g.seed)
+
+
+def test_anchor_text_counts_ground_truth(ray_session, tmp_root):
+    """anchor_text_counts == PageGen ground truth: every canonical link
+    to page t carries anchor 'to {t}', multiplicities preserved."""
+    import os
+
+    import ray.data as rd
+
+    from raylinkgraph.schema import PageGen
+    from raylinkgraph.sources.pages import generate_pages_parquet
+    from raylinkgraph.stages.extract_stage import anchor_text_counts
+
+    n = 300
+    d = os.path.join(tmp_root, "anchor-pages")
+    generate_pages_parquet(d, n, seed=42)
+    got = (
+        anchor_text_counts(rd.read_parquet(d), buckets=8)
+        .to_pandas()
+        .sort_values(["dst_url", "anchor"])
+        .reset_index(drop=True)
+    )
+    gen = PageGen(n, 42)
+    truth: dict[tuple[str, str], int] = {}
+    for i in range(n):
+        src = gen.url_of(i)
+        for t, dst in zip(
+            # targets parallel to true_links
+            [int(u.rsplit("p", 1)[1]) for u in gen.true_links(i)],
+            gen.true_links(i),
+        ):
+            if dst != src:
+                key = (dst, f"to {t}")
+                truth[key] = truth.get(key, 0) + 1
+    want = (
+        pd.DataFrame(
+            [(d_, a, c) for (d_, a), c in truth.items()],
+            columns=["dst_url", "anchor", "n"],
+        )
+        .sort_values(["dst_url", "anchor"])
+        .reset_index(drop=True)
+    )
+    assert got.astype({"n": np.int64}).equals(want.astype({"n": np.int64}))
+
+
+def test_anchor_extractor_nesting_and_entities():
+    from raylinkgraph.extract import extract_anchors
+
+    h = (
+        b'<html><body><a href="/a">one <b>bold &amp; nested</b></a>'
+        b'<a href="/b">two<a href="/c">implicit close</a>'
+        b'<a href="javascript:x">drop</a></body></html>'
+    )
+    got = extract_anchors(h, "https://h.example/base")
+    assert got == [
+        ("https://h.example/a", "one bold & nested"),
+        ("https://h.example/b", "two"),
+        ("https://h.example/c", "implicit close"),
+    ]
