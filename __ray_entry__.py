@@ -2959,6 +2959,39 @@ def q_pages_anchor_texts(sf_dir):
     return out.sort_values(["dst_url", "anchor"]).reset_index(drop=True)
 
 
+PDD_WINDOW = 16
+
+
+def q_doc_paragraph_dedup(sf_dir):
+    """CCNet-style duplicated-paragraph removal (Wenzek et al. 2020):
+    pseudo-paragraphs = consecutive 16-word chunks; every chunk whose
+    exact text occurs >1 time in the corpus is dropped from every doc;
+    surviving chunks reassemble in order. Two bucketed exchanges
+    (functions/dedup.paragraph_dedup); hash-exact vs the SQL
+    chunk-count replay."""
+    from raylinkgraph.functions.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_docs(sf_dir), window=PDD_WINDOW).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PARA_DEDUP_SQL = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+words AS (SELECT doc_id, i, arr[i] AS w
+          FROM ws, UNNEST(range(1, len(arr) + 1)) AS t(i)),
+chunks AS (SELECT doc_id, (i - 1) // {PDD_WINDOW} AS cid,
+           string_agg(w, ' ' ORDER BY i) AS ctext
+           FROM words GROUP BY 1, 2),
+cnt AS (SELECT ctext, COUNT(*) AS n FROM chunks GROUP BY 1)
+SELECT c.doc_id, COUNT(*) AS n_chunks,
+  SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+  COALESCE(string_agg(CASE WHEN cnt.n = 1 THEN c.ctext END, ' '
+           ORDER BY c.cid), '') AS text_kept
+FROM chunks c JOIN cnt USING (ctext)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
 N2V_LEN, N2V_WR, N2V_WI, N2V_WO = 4, 2, 4, 1
 
 
@@ -3072,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": q_emb_pca,
         "rel_nation_revenue": q_rel_nation_revenue,
         "pages_anchor_texts": q_pages_anchor_texts,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5147,6 +5181,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "events_user_gaps": _USER_GAPS_SQL,
         "graph_node2vec": _node2vec_sql(N2V_LEN, N2V_WR, N2V_WI, N2V_WO, 20),
+        "doc_paragraph_dedup": _PARA_DEDUP_SQL,
         "rel_nation_revenue": (
             "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "
             "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "

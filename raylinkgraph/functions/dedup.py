@@ -774,3 +774,82 @@ def dup_clusters(
         res.state_ds().map_batches(comp_rows, batch_format="pyarrow")
     )
     return tagged.groupby("__b").map_groups(resolve, batch_format="pandas")
+
+
+def paragraph_dedup(
+    docs: rd.Dataset,
+    *,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> rd.Dataset:
+    """CCNet-style duplicated-paragraph removal (Wenzek et al. 2020 §3.1:
+    CCNet dedups Common-Crawl by dropping every paragraph whose hash is
+    duplicated across shards; RefinedWeb keeps the same step). The
+    driver's documents have no paragraph marks, so pseudo-paragraphs are
+    consecutive ``window``-word chunks (last chunk may be shorter) — the
+    unit swap leaves the pipeline shape identical.
+
+    A chunk is dropped when its EXACT text occurs more than once across
+    the whole corpus (all occurrences dropped — CCNet drops duplicated
+    paragraphs everywhere, unlike keep-first document dedup). Grouping
+    travels by hash but the duplicate decision compares real chunk text
+    inside the bucket, so hash collisions cannot merge distinct chunks.
+
+    Two bucketed exchanges: (1) hash(chunk_text) — all occurrences of a
+    chunk co-locate, per-bucket value_counts flags dups; (2) hash(doc) —
+    surviving chunks reassemble in position order. -> (doc_id, n_chunks,
+    n_dropped, text_kept).
+    """
+    from raylinkgraph.functions.hashing import partition_of
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, texts = [], [], []
+        for did, txt in zip(b[id_col], b[text_col]):
+            ws = txt.split(" ") if txt else []
+            for k in range(0, max(len(ws), 1), window):
+                ids.append(did)
+                cids.append(k // window)
+                texts.append(" ".join(ws[k : k + window]))
+        out = pd.DataFrame(
+            {id_col: np.asarray(ids, np.int64),
+             "cid": np.asarray(cids, np.int64),
+             "ctext": texts}
+        )
+        out["__p"] = (
+            pd.util.hash_pandas_object(out["ctext"], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return out
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("ctext")["ctext"].transform("size")
+        out = g[[id_col, "cid", "ctext"]].copy()
+        out["dup"] = (n > 1).to_numpy()
+        out["__p"] = partition_of(out[id_col].to_numpy(np.int64), buckets)
+        return out
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "cid"], kind="mergesort")
+        rows = []
+        for did, u in g.groupby(id_col, sort=True):
+            dup = u["dup"].to_numpy()
+            kept = u["ctext"].to_numpy()[~dup]
+            rows.append(
+                (did, len(u), int(dup.sum()), " ".join(kept))
+            )
+        return pd.DataFrame(
+            rows, columns=[id_col, "n_chunks", "n_dropped", "text_kept"]
+        ).astype({id_col: np.int64, "n_chunks": np.int64,
+                  "n_dropped": np.int64})
+
+    return (
+        docs.map_batches(explode, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(flag, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(reassemble, batch_format="pandas")
+    )

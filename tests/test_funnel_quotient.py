@@ -256,3 +256,46 @@ def test_host_graph_ground_truth(ray_session, tmp_root):
     assert got.astype({"n_edges": np.int64}).equals(
         want.astype({"n_edges": np.int64})
     )
+
+
+def test_paragraph_dedup_brute_force(ray_session):
+    """Engine chunk dedup == brute-force CCNet rule (drop every chunk
+    whose exact text appears >1 time corpus-wide)."""
+    from raylinkgraph.functions.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(13)
+    W = 4
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(3, 30))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    # inject exact duplicate docs (all their chunks duplicate)
+    docs[10] = docs[3]
+    docs[11] = docs[3]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    got = (
+        paragraph_dedup(rd.from_pandas(df), window=W, buckets=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force
+    from collections import Counter
+
+    def chunks(t):
+        ws = t.split(" ")
+        return [" ".join(ws[k:k + W]) for k in range(0, max(len(ws), 1), W)]
+
+    cnt = Counter(c for t in docs for c in chunks(t))
+    rows = []
+    for i, t in enumerate(docs):
+        cs = chunks(t)
+        kept = [c for c in cs if cnt[c] == 1]
+        rows.append((i, len(cs), len(cs) - len(kept), " ".join(kept)))
+    bf = pd.DataFrame(
+        rows, columns=["doc_id", "n_chunks", "n_dropped", "text_kept"]
+    )
+    assert got["n_dropped"].sum() > 0  # the injected dups fired
+    assert got.equals(
+        bf.astype({"doc_id": np.int64, "n_chunks": np.int64,
+                   "n_dropped": np.int64})
+    )
