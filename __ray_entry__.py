@@ -2992,6 +2992,74 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
 
+CURATE_TOK_LO, CURATE_TOK_HI = 30, 1000
+
+
+def q_doc_curation(sf_dir):
+    """Composed C4/Gopher-style corpus-curation decision — the capstone
+    'would this document enter the training set' pipeline: exact-dedup
+    keeper flag (keep-first by content), Gopher repetition gates
+    (dup-word mass <= 0.8, top-word share <= 0.3), and a token-length
+    band [30, 1000]; keep = AND of all three, each reason exposed as its
+    own flag column. Composes functions/dedup.exact_dedup +
+    functions/textops.word_repetition_stats via one left hash_join —
+    every stage is the already-oracle-checked operator, and the composed
+    result is hash-exact vs the composed SQL."""
+    from raylinkgraph.functions.dedup import exact_dedup
+    from raylinkgraph.functions.joins import hash_join
+    from raylinkgraph.functions.textops import word_repetition_stats
+
+    rep = word_repetition_stats(_docs(sf_dir))
+    ded = exact_dedup(_docs(sf_dir)).map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64),
+             "is_keeper": np.ones(len(b), np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    j = hash_join(rep, ded, on="doc_id", how="left").to_pandas()
+    out = j.sort_values("doc_id").reset_index(drop=True)
+    keep_dedup = out["is_keeper"].notna().to_numpy()
+    keep_rep = out["keep"].to_numpy(np.int64) == 1
+    nw = out["n_words"].to_numpy(np.int64)
+    keep_len = (nw >= CURATE_TOK_LO) & (nw <= CURATE_TOK_HI)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_words": nw,
+            "keep_dedup": keep_dedup.astype(np.int64),
+            "keep_rep": keep_rep.astype(np.int64),
+            "keep_len": keep_len.astype(np.int64),
+            "keep": (keep_dedup & keep_rep & keep_len).astype(np.int64),
+        }
+    )
+
+
+_CURATION_SQL = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+per AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS topc
+        FROM cnt GROUP BY doc_id),
+ded AS (SELECT MIN(doc_id) AS doc_id, 1 AS is_keeper FROM documents
+        GROUP BY text),
+f AS (SELECT per.doc_id, CAST(per.n AS BIGINT) AS n_words,
+  CASE WHEN ded.is_keeper IS NOT NULL THEN 1 ELSE 0 END AS keep_dedup,
+  CASE WHEN CAST(floor((1.0 - CAST(d AS DOUBLE)/CAST(n AS DOUBLE))*1000000
+       + 0.5) AS BIGINT) <= 800000
+   AND CAST(floor((CAST(topc AS DOUBLE)/CAST(n AS DOUBLE))*1000000
+       + 0.5) AS BIGINT) <= 300000 THEN 1 ELSE 0 END AS keep_rep,
+  CASE WHEN per.n >= {CURATE_TOK_LO} AND per.n <= {CURATE_TOK_HI}
+       THEN 1 ELSE 0 END AS keep_len
+  FROM per LEFT JOIN ded ON ded.doc_id = per.doc_id)
+SELECT doc_id, n_words, CAST(keep_dedup AS BIGINT) AS keep_dedup,
+  CAST(keep_rep AS BIGINT) AS keep_rep,
+  CAST(keep_len AS BIGINT) AS keep_len,
+  CAST(keep_dedup * keep_rep * keep_len AS BIGINT) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 N2V_LEN, N2V_WR, N2V_WI, N2V_WO = 4, 2, 4, 1
 
 
@@ -3106,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_revenue": q_rel_nation_revenue,
         "pages_anchor_texts": q_pages_anchor_texts,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_curation": q_doc_curation,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5182,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_gaps": _USER_GAPS_SQL,
         "graph_node2vec": _node2vec_sql(N2V_LEN, N2V_WR, N2V_WI, N2V_WO, 20),
         "doc_paragraph_dedup": _PARA_DEDUP_SQL,
+        "doc_curation": _CURATION_SQL,
         "rel_nation_revenue": (
             "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "
             "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "
