@@ -756,6 +756,38 @@ def q_graph_apsp(sf_dir):
     return out.sort_values(["src", "oid"]).reset_index(drop=True)
 
 
+def q_graph_eccentricity(sf_dir):
+    """Eccentricity / radius / diameter over the deterministic 64-source
+    sample (networkx.eccentricity semantics on the reachable set; the
+    at-scale estimate shape, like sampled closeness): per-source
+    ecc = max dist, n_reached; plus the sample's radius (min ecc) and
+    diameter (max ecc) as summary rows with src = -1/-2. Reduces the
+    wave-packed multi-source BFS product — no extra graph pass beyond
+    graph_apsp's."""
+    ap = q_graph_apsp(sf_dir)
+    per = (
+        ap.groupby("src", sort=True)
+        .agg(ecc=("dist", "max"), n_reached=("dist", "size"))
+        .reset_index()
+    )
+    per["ecc"] = per["ecc"].astype(np.int64)
+    per["n_reached"] = per["n_reached"].astype(np.int64)
+    summary = pd.DataFrame(
+        {
+            "src": np.array([-1, -2], np.int64),
+            "ecc": np.array(
+                [per["ecc"].min(), per["ecc"].max()], np.int64
+            ),
+            "n_reached": np.array([0, 0], np.int64),
+        }
+    )
+    return (
+        pd.concat([per, summary], ignore_index=True)
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+
+
 def q_graph_mis(sf_dir):
     """Maximal independent set by deterministic Luby rounds (flash_mis,
     yaml:370-443); priorities are pure integer arithmetic so the SQL
@@ -2992,6 +3024,32 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
 
+def q_events_retention(sf_dir):
+    """Cohort retention triangle (users grouped by first active day,
+    counted per later active-day offset) — exact int64 day arithmetic,
+    hash-exact vs the SQL cohort oracle
+    (functions/windows.retention_cohorts, two bucketed exchanges)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = retention_cohorts(ev).to_pandas()
+    return (
+        out.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+    )
+
+
+_RETENTION_SQL = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+       COUNT(*) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 CURATE_TOK_LO, CURATE_TOK_HI = 30, 1000
 
 
@@ -3175,6 +3233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_anchor_texts": q_pages_anchor_texts,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_curation": q_doc_curation,
+        "graph_eccentricity": q_graph_eccentricity,
+        "events_retention": q_events_retention,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5163,6 +5223,17 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter": _diameter_sql(10),
         "graph_mis": _mis_sql(10),
         "graph_apsp": _apsp_sql(12, APSP_SRC),
+        "graph_eccentricity": (
+            f"WITH per AS (SELECT src, MAX(dist) AS ecc, "
+            f"COUNT(*) AS n_reached FROM ({_apsp_sql(12, APSP_SRC)}) "
+            f"GROUP BY src) "
+            "SELECT src, CAST(ecc AS BIGINT) AS ecc, "
+            "CAST(n_reached AS BIGINT) AS n_reached FROM ("
+            "SELECT src, ecc, n_reached FROM per "
+            "UNION ALL SELECT -1, (SELECT MIN(ecc) FROM per), 0 "
+            "UNION ALL SELECT -2, (SELECT MAX(ecc) FROM per), 0"
+            ") ORDER BY src"
+        ),
         "graph_voterank": _voterank_sql(VOTERANK_SEEDS),
         "graph_matching": _matching_sql(60),
         "graph_rectangles": _rectangles_sql(),
@@ -5252,6 +5323,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec": _node2vec_sql(N2V_LEN, N2V_WR, N2V_WI, N2V_WO, 20),
         "doc_paragraph_dedup": _PARA_DEDUP_SQL,
         "doc_curation": _CURATION_SQL,
+        "events_retention": _RETENTION_SQL,
         "rel_nation_revenue": (
             "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "
             "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "

@@ -356,3 +356,70 @@ def user_gap_stats(
         .groupby("__b")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def retention_cohorts(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    buckets: int = 64,
+) -> rd.Dataset:
+    """Cohort retention triangle: users grouped by first active day
+    (cohort), counted on each later active day offset — the standard
+    product-analytics retention table. -> (cohort_day, offset_days,
+    n_users), all exact int64 (days since epoch / day diffs).
+
+    Two bucketed exchanges: hash(user) dedups (user, day) pairs and
+    derives each user's cohort with a segment-min scan (a user's rows
+    co-locate, so the min is exact); hash(cohort) folds the pre-combined
+    per-bucket counts. Nothing is broadcast; day cardinality is bounded
+    by the time range, user cardinality never leaves its bucket.
+    """
+    from raylinkgraph.functions.hashing import partition_of
+
+    US_PER_DAY = 86_400_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch[user_col].to_numpy(np.int64)
+        day = (
+            (batch[ts_col] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).to_numpy(np.int64) // US_PER_DAY
+        df = pd.DataFrame({"uid": uid, "day": day}).drop_duplicates()
+        df["__b"] = partition_of(df["uid"].to_numpy(np.int64), buckets)
+        return df
+
+    def fold_users(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["uid"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.r_[True, (np.diff(uid) != 0) | (np.diff(day) != 0)]
+        uid, day = uid[keep], day[keep]
+        is_new = np.r_[True, np.diff(uid) != 0]
+        seg_len = np.diff(np.r_[np.flatnonzero(is_new), len(uid)])
+        cohort = np.repeat(day[is_new], seg_len)  # first day = sorted min
+        out = (
+            pd.DataFrame({"cohort_day": cohort, "offset_days": day - cohort})
+            .groupby(["cohort_day", "offset_days"], sort=True)
+            .size()
+            .reset_index(name="n_users")
+        )
+        out["__b"] = partition_of(out["cohort_day"].to_numpy(np.int64), buckets)
+        return out
+
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["cohort_day", "offset_days"], sort=True)["n_users"]
+            .sum()
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold_users, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold_counts, batch_format="pandas")
+    )

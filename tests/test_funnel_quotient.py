@@ -299,3 +299,42 @@ def test_paragraph_dedup_brute_force(ray_session):
         bf.astype({"doc_id": np.int64, "n_chunks": np.int64,
                    "n_dropped": np.int64})
     )
+
+
+def test_retention_cohorts_brute_force(ray_session):
+    from raylinkgraph.functions.windows import retention_cohorts
+
+    rng = np.random.default_rng(21)
+    n = 900
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            # span ~40 days so the cohort triangle has real structure
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86_400_000_000, n),
+                              unit="us"),
+        }
+    )
+    got = (
+        retention_cohorts(rd.from_pandas(ev), buckets=5)
+        .to_pandas()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    US_PER_DAY = 86_400_000_000
+    df = ev.copy()
+    df["day"] = (
+        (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ).astype(np.int64) // US_PER_DAY
+    d = df[["user_id", "day"]].drop_duplicates()
+    first = d.groupby("user_id")["day"].min().rename("cohort_day")
+    j = d.join(first, on="user_id")
+    j["offset_days"] = j["day"] - j["cohort_day"]
+    bf = (
+        j.groupby(["cohort_day", "offset_days"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(np.int64).equals(bf.astype(np.int64))
