@@ -3182,6 +3182,29 @@ def q_pages_host_graph(sf_dir):
     )
 
 
+HH_K = 150
+
+
+def q_events_heavy_hitters(sf_dir):
+    """Exact 'users with strictly more than n/k of all events' (k=150)
+    via a mergeable Misra-Gries sketch (fixed <=k-row exchange per
+    batch, NO groupby over the unbounded user domain) plus one exact
+    verification pass over the <=k surviving candidates — the sketch
+    guarantees every item above the threshold survives compression, the
+    verify pass makes the output exactly the SQL HAVING set.
+    functions/sketches.heavy_hitters."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import heavy_hitters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = heavy_hitters(ev, "user_id", HH_K)
+    out = out.rename(columns={"value": "user_id"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -3235,6 +3258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": q_doc_curation,
         "graph_eccentricity": q_graph_eccentricity,
         "events_retention": q_events_retention,
+        # -- (2b) round-4 third-session additions -------------------------
+        "events_heavy_hitters": q_events_heavy_hitters,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5324,6 +5349,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_paragraph_dedup": _PARA_DEDUP_SQL,
         "doc_curation": _CURATION_SQL,
         "events_retention": _RETENTION_SQL,
+        "events_heavy_hitters": (
+            f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
+            f"ORDER BY user_id"
+        ),
         "rel_nation_revenue": (
             "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "
             "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "

@@ -185,3 +185,84 @@ def approx_quantiles_sample(
             "value": v[np.minimum(idx, n - 1)] if n else np.full(len(q), np.nan),
         }
     )
+
+
+def _mg_compress(vals: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression to at most k counters: subtract the
+    (k+1)-th largest count from every counter and drop the non-positive
+    remainder (the mergeable-summaries formulation, Agarwal et al. 2012).
+    Each subtraction decrements > k counters at once, so the total mass
+    removed from any single item is <= n / (k+1)."""
+    if len(vals) <= k:
+        return vals, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    dec = counts[order[k]]
+    keep = counts > dec
+    return vals[keep], counts[keep] - dec
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int) -> pd.DataFrame:
+    """EXACT "frequency strictly greater than n/k" items -> (value, n),
+    via a Misra-Gries sketch plus one verification pass.
+
+    Pass 1 (streaming, fixed exchange): each batch folds to exact local
+    value counts (vectorized) compressed to a <= k-counter Misra-Gries
+    summary, so at most k rows leave any batch no matter how many
+    distinct values it holds. The driver sums the partial counters by
+    value and MG-compresses once more: any item with true frequency
+    f > n/(k+1) necessarily survives with a positive counter (its
+    estimate is >= f - n/(k+1)), so the <= k survivors are a SUPERSET of
+    every item with f > n/k.  No groupby over the unbounded value domain
+    ever happens — the candidate set is bounded by k by construction.
+
+    Pass 2 (streaming): broadcast the candidate values once (ray.put via
+    map_batches closure capture of a small frozen array) and count their
+    exact occurrences per batch (vectorized isin + value_counts); fold
+    the <= k-row partials and keep items with n * k > total.  Exact,
+    deterministic, partition/order-invariant — the same contract the SQL
+    oracle (GROUP BY ... HAVING COUNT(*) * k > total) states.
+
+    Reference analogue: GraphScope's property statistics run exact
+    groupbys inside one fragment (fragment_reporter.h); at 100 TB the
+    MG + verify shape is the one that avoids shuffling the full key
+    domain for a top-heavy-hitter question.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts()  # exact within the batch, vectorized
+        vals, counts = _mg_compress(
+            vc.index.to_numpy(), vc.to_numpy(np.int64), k
+        )
+        out = pd.DataFrame({"value": vals, "cnt": counts})
+        out["total"] = np.int64(0)
+        # one extra row carrying the batch's row count for n
+        out.loc[len(out)] = [vc.index[0] if len(vc) else None, 0, len(b)]
+        return out
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    total = int(parts["total"].sum())
+    cand = parts[parts["cnt"] > 0].groupby("value", as_index=False)["cnt"].sum()
+    cvals, ccnts = _mg_compress(
+        cand["value"].to_numpy(), cand["cnt"].to_numpy(np.int64), k
+    )
+    cand_set = pd.unique(cvals)
+
+    def exact_count(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col]
+        vc = v[v.isin(cand_set)].value_counts()
+        return pd.DataFrame(
+            {"value": vc.index.to_numpy(), "n": vc.to_numpy(np.int64)}
+        )
+
+    exact = ds.select_columns([col]).map_batches(
+        exact_count, batch_format="pandas"
+    ).to_pandas()
+    if len(exact) == 0:
+        return pd.DataFrame({"value": cand_set[:0], "n": np.array([], np.int64)})
+    agg = exact.groupby("value", as_index=False)["n"].sum()
+    hot = agg[agg["n"].to_numpy(np.int64) * k > total]
+    return hot.sort_values("value").reset_index(drop=True)

@@ -86,3 +86,35 @@ def test_approx_quantiles_sample_error_bound(ray_session):
     for q, v in zip([0.1, 0.5, 0.9], out["value"]):
         true_rank = np.searchsorted(xs, v) / len(xs)
         assert abs(true_rank - q) < 3 * 1.63 / np.sqrt(4096), (q, true_rank)
+
+
+def test_heavy_hitters_exact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import heavy_hitters
+
+    # Zipf-ish skew: value v appears ~ N/(v+1) times, many singletons
+    rng = np.random.default_rng(4)
+    counts = {v: max(1, 5000 // (v + 1)) for v in range(400)}
+    vals = np.concatenate([np.full(c, v, np.int64) for v, c in counts.items()])
+    rng.shuffle(vals)
+    n, k = len(vals), 32
+    truth = sorted(v for v, c in counts.items() if c * k > n)
+    for blocks in (1, 7, 23):
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(blocks)
+        got = heavy_hitters(ds, "x", k)
+        assert got["value"].tolist() == truth
+        assert got["n"].tolist() == [counts[v] for v in truth]
+
+
+def test_heavy_hitters_string_values_and_empty(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import heavy_hitters
+
+    vals = ["hot"] * 50 + [f"cold{i}" for i in range(200)]
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5)
+    got = heavy_hitters(ds, "x", 4)  # threshold 250/4 = 62.5 -> none
+    assert len(got) == 0
+    got = heavy_hitters(ds, "x", 8)  # threshold 31.25 -> only "hot"
+    assert got["value"].tolist() == ["hot"] and got["n"].tolist() == [50]
