@@ -3205,6 +3205,22 @@ def q_events_heavy_hitters(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+VOCAB_KEEP_K = 20
+
+
+def q_doc_prune_vocab(sf_dir):
+    """Top-K vocabulary pruning: tokens outside the 20 most frequent
+    corpus words become <unk> (the classic closed-vocabulary LM
+    preprocessing step). Vocab selection is the bucketed top-ngrams
+    fold (fixed exchange); replacement is one flat np.isin per batch.
+    textops.prune_vocab; ties at the cutoff break on the word string so
+    the SQL window-rank oracle replays it exactly."""
+    from raylinkgraph.functions.textops import prune_vocab
+
+    out = prune_vocab(_docs(sf_dir), keep_k=VOCAB_KEEP_K).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -3260,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         # -- (2b) round-4 third-session additions -------------------------
         "events_heavy_hitters": q_events_heavy_hitters,
+        "doc_prune_vocab": q_doc_prune_vocab,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5353,6 +5370,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
             f"ORDER BY user_id"
+        ),
+        "doc_prune_vocab": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(text, '\S+')) AS word, "
+            r"generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos "
+            r"FROM documents), "
+            r"vocab AS (SELECT word FROM (SELECT word, COUNT(*) AS c "
+            r"FROM toks GROUP BY word ORDER BY c DESC, word "
+            f"LIMIT {VOCAB_KEEP_K})) "
+            r"SELECT doc_id, string_agg(CASE WHEN word IN "
+            r"(SELECT word FROM vocab) THEN word ELSE '<unk>' END, "
+            r"' ' ORDER BY pos) AS pruned_text "
+            r"FROM toks GROUP BY doc_id ORDER BY doc_id"
         ),
         "rel_nation_revenue": (
             "SELECT c_nationkey AS nation, COUNT(*) AS n_lines, "

@@ -685,3 +685,59 @@ def bpe_token_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def prune_vocab(
+    docs: rd.Dataset,
+    *,
+    keep_k: int = 20,
+    text_col: str = "text",
+    out_col: str = "pruned_text",
+    unk: str = "<unk>",
+) -> rd.Dataset:
+    """Top-K vocabulary pruning (classic LM preprocessing): every token
+    outside the K globally-most-frequent words becomes `unk`.
+
+    Pass 1 reuses the top_ngrams(n=1) combiner shape — per-batch local
+    counts, hash-bucketed fold, per-bucket top-k — so the vocabulary
+    selection never shuffles more than buckets*k rows no matter how
+    large the corpus vocabulary is; ties at the cutoff break on the
+    word string (total order, SQL-replayable). The K survivors are tiny
+    and travel to pass 2 by closure capture (broadcast once per task,
+    never per row).
+
+    Pass 2 is a stateless map_batches: tokens of the whole batch are
+    flattened into ONE object array, membership is a single np.isin
+    against the sorted keep array, and docs are reassembled from the
+    flat replaced array by offsets (one join per document — the join
+    itself is the output allocation, not per-token Python work).
+
+    Documents with zero tokens produce no output row — the same
+    semantics as the SQL unnest-regroup oracle.
+    """
+    words = [
+        r["ngram"]
+        for r in top_ngrams(docs, n=1, k=keep_k, text_col=text_col).take_all()
+    ]
+    keep_arr = np.sort(np.array(words, dtype=object))
+    pat = re.compile(_TOKEN_RE)
+
+    def replace(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.findall(pat)
+        lens = toks.map(len).to_numpy(np.int64)
+        nz = lens > 0
+        if not nz.any():
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 out_col: pd.Series([], dtype=object)}
+            )
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks[nz]])
+        flat = np.where(np.isin(flat, keep_arr), flat, unk)
+        offs = np.concatenate(([0], np.cumsum(lens[nz])))
+        texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(nz.sum())]
+        return pd.DataFrame(
+            {"doc_id": batch.loc[nz, "doc_id"].to_numpy(np.int64),
+             out_col: pd.Series(texts, dtype=object)}
+        )
+
+    return docs.map_batches(replace, batch_format="pandas")

@@ -543,3 +543,35 @@ def test_semantic_dedup(ray_session):
     assert set(out[out["keep"] == 1]["vec_id"]) <= set(
         out4[out4["keep"] == 1]["vec_id"]
     )
+
+
+def test_prune_vocab_invariance_and_empty_docs(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import prune_vocab
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a a a b b c rare1",
+                "b a rare2 rare2 c",
+                "",          # zero tokens -> no output row (SQL unnest semantics)
+                "a c c",
+                "rare3",
+                "b b a",
+            ],
+        }
+    )
+    # corpus counts: a=7 b=6 c=4 rare2=2 rare1=1 rare3=1 -> keep_k=3 = {a,b,c}
+    want = {
+        0: "a a a b b c <unk>",
+        1: "b a <unk> <unk> c",
+        3: "a c c",
+        4: "<unk>",
+        5: "b b a",
+    }
+    for blocks in (1, 4):
+        ds = rd.from_pandas(df).repartition(blocks)
+        out = prune_vocab(ds, keep_k=3).to_pandas().sort_values("doc_id")
+        assert dict(zip(out["doc_id"], out["pruned_text"])) == want
