@@ -3221,6 +3221,95 @@ def q_doc_prune_vocab(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_rel_cube_counts(sf_dir):
+    """CUBE(l_returnflag, l_linestatus) — all four grouping sets of
+    line counts + integer-cent revenue in ONE pass: each batch emits
+    the finest-level partial plus its three coarsenings pre-combined
+    (bounded dims -> a handful of rows per batch), one bounded fold
+    finishes. NULL levels spelled '(all)' so the value-hash compare is
+    collation-proof; revenue quantized to cents per line BEFORE any
+    sum, so the aggregate is order-free exact."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - b["l_discount"].to_numpy(np.float64))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        base = pd.DataFrame(
+            {"flag": b["l_returnflag"], "status": b["l_linestatus"], "rev": rev}
+        )
+        lvl3 = base.groupby(["flag", "status"], sort=False).agg(
+            n=("rev", "size"), revenue_c=("rev", "sum")
+        ).reset_index()
+        lvls = [lvl3]
+        for cols, alls in ((["flag"], ["status"]), (["status"], ["flag"]), ([], ["flag", "status"])):
+            if cols:
+                g = lvl3.groupby(cols, sort=False)[["n", "revenue_c"]].sum().reset_index()
+            else:
+                g = pd.DataFrame(
+                    {"n": [lvl3["n"].sum()], "revenue_c": [lvl3["revenue_c"].sum()]}
+                )
+            for a in alls:
+                g[a] = "(all)"
+            lvls.append(g)
+        out = pd.concat(lvls, ignore_index=True)[["flag", "status", "n", "revenue_c"]]
+        out["n"] = out["n"].astype(np.int64)
+        out["revenue_c"] = out["revenue_c"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["flag", "status"], sort=True)[["n", "revenue_c"]]
+        .sum()
+        .reset_index()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    return out.sort_values(["flag", "status"]).reset_index(drop=True)
+
+
+def q_events_value_stats(sf_dir):
+    """Per-event-type n / sum / mean / population variance with EXACT
+    integer arithmetic: values quantized to cents per row, per-batch
+    (n, sum, sum-of-squares) moment partials (5 rows each), driver fold
+    in unbounded Python ints, round-half-up rational -> e6 integers —
+    the distributed two-pass-free variance that stays bit-identical to
+    the SQL HUGEINT oracle at any partitioning."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        t = pd.DataFrame({"event_type": b["event_type"], "c": c, "cc": c * c})
+        g = t.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), ss=("cc", "sum")
+        ).reset_index()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for et, g in parts.groupby("event_type", sort=True):
+        n = int(g["n"].sum()); s = int(g["s"].sum()); ss = int(g["ss"].sum())
+        mean_e6 = (2 * s * 10_000 + n) // (2 * n)
+        num = (n * ss - s * s) * 100
+        var_e6 = (2 * num + n * n) // (2 * n * n)
+        rows.append((et, n, s, mean_e6, var_e6))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "sum_cents", "mean_e6", "var_e6"]
+    ).astype({"n": np.int64, "sum_cents": np.int64, "mean_e6": np.int64, "var_e6": np.int64})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -3277,6 +3366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- (2b) round-4 third-session additions -------------------------
         "events_heavy_hitters": q_events_heavy_hitters,
         "doc_prune_vocab": q_doc_prune_vocab,
+        "rel_cube_counts": q_rel_cube_counts,
+        "events_value_stats": q_events_value_stats,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5370,6 +5461,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
             f"ORDER BY user_id"
+        ),
+        "rel_cube_counts": (
+            "SELECT COALESCE(l_returnflag, '(all)') AS flag, "
+            "COALESCE(l_linestatus, '(all)') AS status, "
+            "COUNT(*) AS n, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 "
+            "+ 0.5) AS BIGINT)) AS revenue_c "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
+            "ORDER BY flag, status"
+        ),
+        "events_value_stats": (
+            "WITH q AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events), "
+            "a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(c) AS HUGEINT) AS s, "
+            "SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss "
+            "FROM q GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s AS BIGINT) AS sum_cents, "
+            "CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS mean_e6, "
+            "CAST((2 * (n * ss - s * s) * 100 + n * n) // (2 * n * n) "
+            "AS BIGINT) AS var_e6 "
+            "FROM a ORDER BY event_type"
         ),
         "doc_prune_vocab": (
             r"WITH toks AS (SELECT doc_id, "

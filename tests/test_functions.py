@@ -575,3 +575,39 @@ def test_prune_vocab_invariance_and_empty_docs(ray_session):
         ds = rd.from_pandas(df).repartition(blocks)
         out = prune_vocab(ds, keep_k=3).to_pandas().sort_values("doc_id")
         assert dict(zip(out["doc_id"], out["pruned_text"])) == want
+
+
+def test_events_value_stats_partition_invariant(ray_session, tmp_root):
+    """The moment-partial fold must be exact (Python-int) regardless of
+    batching: compare against a single-process numpy/int computation."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(0, unit="s"),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.uniform(0.01, 500.0, n).round(2),
+            "props": ["{}"] * n,
+        }
+    )
+    d = os.path.join(tmp_root, "vstats")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+    out = entrymod.q_events_value_stats(d).set_index("event_type")
+    for et, g in df.groupby("event_type"):
+        c = np.floor(g["value"].to_numpy(np.float64) * 100 + 0.5).astype(object)
+        nn, s, ss = len(c), int(sum(c)), int(sum(c * c))
+        assert out.loc[et, "n"] == nn
+        assert out.loc[et, "sum_cents"] == s
+        assert out.loc[et, "mean_e6"] == (2 * s * 10_000 + nn) // (2 * nn)
+        num = (nn * ss - s * s) * 100
+        assert out.loc[et, "var_e6"] == (2 * num + nn * nn) // (2 * nn * nn)
