@@ -3310,6 +3310,30 @@ def q_events_value_stats(sf_dir):
     ).astype({"n": np.int64, "sum_cents": np.int64, "mean_e6": np.int64, "var_e6": np.int64})
 
 
+def q_graph_scan_sim(sf_dir):
+    """SCAN structural similarity per pp-graph edge (closed
+    neighborhoods; Xu et al. KDD 2007) — per-edge triangle support via
+    the distributed wedge expansion, endpoints' degrees attached, sigma
+    quantized to e6 (sqrt/div are correctly-rounded IEEE, so the SQL
+    oracle is bit-identical). algos/ktruss.scan_similarity."""
+    from raylinkgraph.algos.ktruss import scan_similarity
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    return scan_similarity(g.edges_ds())
+
+
+def q_graph_rich_club(sf_dir):
+    """Rich-club coefficient phi(k) for every degree threshold k of the
+    pp co-order graph — two bounded histograms + suffix sums, exact
+    integer phi_e6. algos/ktruss.rich_club."""
+    from raylinkgraph.algos.ktruss import rich_club
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+    return rich_club(g.edges_ds())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -3368,6 +3392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_prune_vocab": q_doc_prune_vocab,
         "rel_cube_counts": q_rel_cube_counts,
         "events_value_stats": q_events_value_stats,
+        "graph_scan_sim": q_graph_scan_sim,
+        "graph_rich_club": q_graph_rich_club,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5461,6 +5487,40 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
             f"ORDER BY user_id"
+        ),
+        "graph_scan_sim": (
+            f"WITH pedges AS MATERIALIZED ({_PP_EDGES}), "
+            "e AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
+            "UNION ALL SELECT v, u FROM pedges), "
+            "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s), "
+            "cn AS (SELECT p.u, p.v, COUNT(*) AS c FROM pedges p "
+            "JOIN e e1 ON e1.s = p.u JOIN e e2 ON e2.s = p.v "
+            "AND e2.d = e1.d GROUP BY p.u, p.v) "
+            "SELECT p.u, p.v, CAST(FLOOR((COALESCE(cn.c, 0) + 2) / "
+            "SQRT(CAST((d1.deg + 1) * (d2.deg + 1) AS DOUBLE)) "
+            "* 1000000 + 0.5) AS BIGINT) AS sigma_e6 "
+            "FROM pedges p JOIN deg d1 ON d1.s = p.u "
+            "JOIN deg d2 ON d2.s = p.v "
+            "LEFT JOIN cn ON cn.u = p.u AND cn.v = p.v "
+            "ORDER BY p.u, p.v"
+        ),
+        "graph_rich_club": (
+            f"WITH pedges AS MATERIALIZED ({_PP_EDGES}), "
+            "n AS (SELECT u AS s FROM pedges UNION ALL SELECT v FROM pedges), "
+            "deg AS (SELECT s, COUNT(*) AS deg FROM n GROUP BY s), "
+            "ed AS MATERIALIZED (SELECT LEAST(d1.deg, d2.deg) AS m "
+            "FROM pedges p JOIN deg d1 ON d1.s = p.u "
+            "JOIN deg d2 ON d2.s = p.v), "
+            "ks AS (SELECT r.k FROM range(0, 1048576) r(k), "
+            "(SELECT MAX(deg) AS md FROM deg) mx WHERE r.k < mx.md), "
+            "agg AS (SELECT ks.k, "
+            "(SELECT COUNT(*) FROM deg WHERE deg > ks.k) AS n_nodes, "
+            "(SELECT COUNT(*) FROM ed WHERE m > ks.k) AS n_edges "
+            "FROM ks) "
+            "SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges, "
+            "CAST((4 * n_edges * 1000000 + n_nodes * (n_nodes - 1)) "
+            "// (2 * n_nodes * (n_nodes - 1)) AS BIGINT) AS phi_e6 "
+            "FROM agg WHERE n_nodes >= 2 ORDER BY k"
         ),
         "rel_cube_counts": (
             "SELECT COALESCE(l_returnflag, '(all)') AS flag, "

@@ -189,3 +189,94 @@ def _edge_support(cur: np.ndarray) -> pd.DataFrame:
         .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
+
+
+def scan_similarity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> pd.DataFrame:
+    """SCAN structural similarity per undirected edge (Xu et al., KDD
+    2007): sigma(u, v) = |G(u) n G(v)| / sqrt(|G(u)| * |G(v)|) over
+    CLOSED neighborhoods G(x) = N(x) u {x} -> (u, v, sigma_e6), u < v.
+
+    For an existing edge the closed-neighborhood intersection is the
+    per-edge triangle support plus the two endpoints, so the whole op
+    reuses _edge_support's distributed wedge-expansion (bucketed by
+    apex, confirmed against the sorted packed edge set — the exact
+    shape GraphScope's triangle apps use, reference
+    analytical_engine/apps/flash/clustering/triangle.h semantics).
+    sqrt and division are correctly-rounded IEEE ops (unlike log), so
+    sigma_e6 = floor(sigma * 1e6 + 0.5) is bit-identical to the SQL
+    oracle with no tolerance caveat. Driver holds only the compact
+    packed edge array (one int64 per edge — the documented k_truss
+    contract; at edge counts beyond driver memory, keep the set as a
+    Dataset and make the final attach one more bucketed fold)."""
+    cur = np.sort(_canonical_edges(edges, src_col, dst_col)["e"].to_numpy(np.int64))
+    if len(cur) == 0:
+        return pd.DataFrame(
+            {"u": pd.Series([], dtype=np.int64),
+             "v": pd.Series([], dtype=np.int64),
+             "sigma_e6": pd.Series([], dtype=np.int64)}
+        )
+    supp = _edge_support(cur)
+    u = cur >> np.int64(32)
+    v = cur & np.int64((1 << 32) - 1)
+    ids, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    du = deg[np.searchsorted(ids, u)]
+    dv = deg[np.searchsorted(ids, v)]
+    cn = np.zeros(len(cur), np.int64)
+    if "e" in supp.columns and len(supp):
+        pos = np.searchsorted(cur, supp["e"].to_numpy(np.int64))
+        cn[pos] = supp["n"].to_numpy(np.int64)
+    sigma = (cn + 2) / np.sqrt(((du + 1) * (dv + 1)).astype(np.float64))
+    out = pd.DataFrame(
+        {"u": u, "v": v,
+         "sigma_e6": np.floor(sigma * 1_000_000 + 0.5).astype(np.int64)}
+    )
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def rich_club(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> pd.DataFrame:
+    """Rich-club coefficient phi(k) = 2 * E_k / (N_k * (N_k - 1)) for
+    every degree threshold k (nodes of degree > k, edges among them)
+    -> (k, n_nodes, n_edges, phi_e6), rows where N_k >= 2.
+
+    One pass over the deduplicated edge set: degree histogram + per-edge
+    min-endpoint-degree histogram, then two suffix-sums — E_k and N_k
+    for ALL k fall out of two bounded histograms (max-degree-sized), so
+    no per-k scan ever happens. phi_e6 is computed in exact integer
+    arithmetic ((4*E*1e6 + D) // (2*D), D = N*(N-1)) — bit-identical to
+    the SQL integer-division oracle."""
+    cur = _canonical_edges(edges, src_col, dst_col)["e"].to_numpy(np.int64)
+    u = cur >> np.int64(32)
+    v = cur & np.int64((1 << 32) - 1)
+    ids, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    if len(ids) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64)
+             for c in ("k", "n_nodes", "n_edges", "phi_e6")}
+        )
+    md = int(deg.max())
+    node_hist = np.bincount(deg, minlength=md + 1)
+    m = np.minimum(deg[np.searchsorted(ids, u)], deg[np.searchsorted(ids, v)])
+    edge_hist = np.bincount(m, minlength=md + 1)
+    # N_k = #nodes with degree > k = suffix sum over the histogram
+    n_nodes = np.cumsum(node_hist[::-1])[::-1]  # n_nodes[d] = #deg >= d
+    e_edges = np.cumsum(edge_hist[::-1])[::-1]
+    ks = np.arange(0, md, dtype=np.int64)
+    nk = n_nodes[ks + 1]  # deg > k  <=>  deg >= k+1
+    ek = e_edges[ks + 1]
+    keep = nk >= 2
+    ks, nk, ek = ks[keep], nk[keep].astype(np.int64), ek[keep].astype(np.int64)
+    d = nk * (nk - 1)
+    phi = (4 * ek * 1_000_000 + d) // (2 * d)
+    return pd.DataFrame(
+        {"k": ks, "n_nodes": nk, "n_edges": ek, "phi_e6": phi.astype(np.int64)}
+    )

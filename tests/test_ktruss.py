@@ -43,3 +43,44 @@ def test_ktruss_triangle_free(ray_session):
     assert _run(g, 3) == set()
     # k=2: every edge trivially survives (needs 0 triangles)
     assert _run(g, 2) == _nx_edges(g, 2)
+
+
+def test_scan_similarity_brute_force(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from raylinkgraph.algos.ktruss import scan_similarity
+
+    g = nx.gnm_random_graph(40, 120, seed=7)
+    e = pd.DataFrame(
+        {"src_id": [u for u, v in g.edges()], "dst_id": [v for u, v in g.edges()]}
+    ).astype(np.int64)
+    for blocks in (1, 5):
+        out = scan_similarity(rd.from_pandas(e).repartition(blocks))
+        assert len(out) == g.number_of_edges()
+        for u, v, s6 in out.itertuples(index=False):
+            gu = set(g[u]) | {u}
+            gv = set(g[v]) | {v}
+            sigma = len(gu & gv) / np.sqrt(float(len(gu) * len(gv)))
+            assert s6 == int(np.floor(sigma * 1e6 + 0.5)), (u, v)
+
+
+def test_rich_club_networkx(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from raylinkgraph.algos.ktruss import rich_club
+
+    g = nx.gnm_random_graph(60, 300, seed=3)
+    e = pd.DataFrame(
+        {"src_id": [u for u, v in g.edges()], "dst_id": [v for u, v in g.edges()]}
+    ).astype(np.int64)
+    out = rich_club(rd.from_pandas(e).repartition(4)).set_index("k")
+    want = nx.rich_club_coefficient(g, normalized=False)
+    for k, phi in want.items():
+        if k in out.index:
+            assert out.loc[k, "phi_e6"] == int(np.floor(phi * 1e6 + 0.5)), k
+    # every k with >= 2 qualifying nodes must be present
+    degs = np.array([d for _, d in g.degree()])
+    for k in range(degs.max()):
+        assert (k in out.index) == ((degs > k).sum() >= 2)
