@@ -741,3 +741,59 @@ def prune_vocab(
         )
 
     return docs.map_batches(replace, batch_format="pandas")
+
+
+# Common-Crawl-style PII scrubbing patterns. Kept to constructs with
+# identical semantics in Python re and RE2 (no lookbehind/backrefs) so a
+# SQL oracle could replay them; the synthetic documents corpus contains
+# no PII, so correctness is pinned by injected-fixture pytest instead of
+# a driver query (an all-zero oracle would prove nothing).
+PII_PATTERNS: "dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,14}[0-9]",
+}
+
+
+class RedactPII:
+    """Actor-pool stage: replace PII spans with <LABEL> sentinels and
+    count replacements per label. Patterns compile ONCE per actor in
+    __init__ (the stateful-stage contract); the per-batch work is
+    pandas str.replace/str.count vectorized kernels. Order of
+    application is the sorted label order, so output is deterministic
+    regardless of dict construction order."""
+
+    def __init__(self, patterns: "dict[str, str] | None" = None,
+                 text_col: str = "text"):
+        pats = patterns or PII_PATTERNS
+        self.compiled = [(lab, re.compile(p)) for lab, p in sorted(pats.items())]
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        t = batch[self.text_col]
+        for lab, pat in self.compiled:
+            out[f"n_{lab}"] = t.str.count(pat).astype(np.int64)
+            t = t.str.replace(pat, f"<{lab.upper()}>", regex=True)
+        out["redacted_text"] = t
+        return out
+
+
+def redact_pii(
+    docs: rd.Dataset,
+    *,
+    patterns: "dict[str, str] | None" = None,
+    text_col: str = "text",
+    concurrency=(1, 4),
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """-> (doc_id, n_<label>..., redacted_text). Streams at any scale:
+    stateless rows, per-actor compiled patterns, no shuffle at all."""
+    return docs.map_batches(
+        RedactPII,
+        fn_constructor_kwargs={"patterns": patterns, "text_col": text_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )

@@ -611,3 +611,41 @@ def test_events_value_stats_partition_invariant(ray_session, tmp_root):
         assert out.loc[et, "mean_e6"] == (2 * s * 10_000 + nn) // (2 * nn)
         num = (nn * ss - s * s) * 100
         assert out.loc[et, "var_e6"] == (2 * num + nn * nn) // (2 * nn * nn)
+
+
+def test_redact_pii_injected_fixture(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import redact_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567",
+                "server at 10.0.255.3 and 192.168.1.1 no mail here",
+                "plain text with no pii at all",
+                "a@b.io b@c.io 8.8.8.8",
+            ],
+        }
+    )
+    out = (
+        redact_pii(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_email"].tolist() == [1, 0, 0, 2]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 1]
+    assert out["n_phone"].tolist() == [1, 0, 0, 0]
+    assert "<EMAIL>" in out.loc[0, "redacted_text"]
+    assert "<PHONE>" in out.loc[0, "redacted_text"]
+    assert out.loc[1, "redacted_text"] == "server at <IPV4> and <IPV4> no mail here"
+    assert out.loc[2, "redacted_text"] == "plain text with no pii at all"
+    assert out.loc[3, "redacted_text"] == "<EMAIL> <EMAIL> <IPV4>"
+    # determinism across partitionings
+    out2 = (
+        redact_pii(rd.from_pandas(df).repartition(4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.equals(out2)
