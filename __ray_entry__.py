@@ -3334,6 +3334,21 @@ def q_graph_rich_club(sf_dir):
     return rich_club(g.edges_ds())
 
 
+WIN_W, WIN_S = 30, 20
+
+
+def q_doc_token_windows(sf_dir):
+    """Sliding token-window chunking (RAG / LM-context prep): windows of
+    30 tokens at stride 20, window w covering 1-based positions
+    (w*20, w*20+30], count 1 + ceil(max(0, n-30)/20) per doc — the SQL
+    oracle replays the same interval algebra with an inequality join.
+    textops.token_windows."""
+    from raylinkgraph.functions.textops import token_windows
+
+    out = token_windows(_docs(sf_dir), window=WIN_W, stride=WIN_S).to_pandas()
+    return out.sort_values(["doc_id", "win_id"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER: (1) the 13 queries with no CORRECTNESS row from ANY prior
     # round (driver cap is ~50) run first; (2) round-4 additions;
@@ -3394,6 +3409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": q_events_value_stats,
         "graph_scan_sim": q_graph_scan_sim,
         "graph_rich_club": q_graph_rich_club,
+        "doc_token_windows": q_doc_token_windows,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5487,6 +5503,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
             f"ORDER BY user_id"
+        ),
+        "doc_token_windows": (
+            r"WITH tk AS (SELECT doc_id, "
+            r"regexp_extract_all(text, '\S+') AS ts FROM documents), "
+            r"toks AS (SELECT doc_id, unnest(ts) AS word, "
+            r"generate_subscripts(ts, 1) AS pos, len(ts) AS n FROM tk) "
+            r"SELECT t.doc_id, CAST(r.w AS BIGINT) AS win_id, "
+            r"COUNT(*) AS n_tokens, "
+            r"string_agg(t.word, ' ' ORDER BY t.pos) AS win_text "
+            r"FROM toks t JOIN range(0, 65536) r(w) "
+            f"ON r.w * {WIN_S} < t.pos AND t.pos <= r.w * {WIN_S} + {WIN_W} "
+            f"AND r.w * {WIN_S} < GREATEST(t.n - {WIN_W}, 0) + {WIN_S} "
+            r"GROUP BY t.doc_id, r.w ORDER BY t.doc_id, win_id"
         ),
         "graph_scan_sim": (
             f"WITH pedges AS MATERIALIZED ({_PP_EDGES}), "

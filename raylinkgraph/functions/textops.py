@@ -797,3 +797,52 @@ def redact_pii(
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+def token_windows(
+    docs: rd.Dataset,
+    *,
+    window: int = 30,
+    stride: int = 20,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sliding token-window chunking (the RAG / LM-context prep step):
+    each document becomes overlapping windows of ``window`` tokens at
+    ``stride`` spacing -> (doc_id, win_id, n_tokens, win_text).
+
+    Window w covers 1-based token positions (w*stride, w*stride+window];
+    the window count is 1 + ceil(max(0, n - window) / stride), so the
+    final window reaches the document tail exactly once and no window
+    is a redundant suffix of its predecessor. Stateless map_batches —
+    no shuffle; tokenization is one vectorized findall per batch and
+    the per-window joins are the output allocation itself (each output
+    row is materialized exactly once)."""
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    pat = re.compile(_TOKEN_RE)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, wids, counts, texts = [], [], [], []
+        for doc_id, toks in zip(
+            batch["doc_id"].to_numpy(), batch[text_col].str.findall(pat)
+        ):
+            n = len(toks)
+            if n == 0:
+                continue
+            nw = 1 + max(0, -(-(n - window) // stride))
+            for w in range(nw):
+                seg = toks[w * stride : w * stride + window]
+                ids.append(doc_id)
+                wids.append(w)
+                counts.append(len(seg))
+                texts.append(" ".join(seg))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "win_id": pd.Series(wids, dtype=np.int64),
+                "n_tokens": pd.Series(counts, dtype=np.int64),
+                "win_text": pd.Series(texts, dtype=object),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")

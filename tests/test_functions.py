@@ -649,3 +649,38 @@ def test_redact_pii_injected_fixture(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_token_windows_edges(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import token_windows
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                " ".join(f"t{i}" for i in range(45)),  # 3 covering windows? n=45: 1+ceil(15/20)=2
+                " ".join(f"t{i}" for i in range(60)),  # 1+ceil(30/20)=3
+                "one two",                             # single short window
+                "",                                    # no tokens -> no rows
+                " ".join(f"t{i}" for i in range(30)),  # exactly window -> 1
+            ],
+        }
+    )
+    for blocks in (1, 3):
+        out = (
+            token_windows(rd.from_pandas(df).repartition(blocks),
+                          window=30, stride=20)
+            .to_pandas().sort_values(["doc_id", "win_id"]).reset_index(drop=True)
+        )
+        per_doc = out.groupby("doc_id")["win_id"].count().to_dict()
+        assert per_doc == {0: 2, 1: 3, 2: 1, 4: 1}
+        # doc 0 window 1 covers tokens 21..45 (1-based) = t20..t44
+        w01 = out[(out.doc_id == 0) & (out.win_id == 1)].iloc[0]
+        assert w01["n_tokens"] == 25
+        assert w01["win_text"].split() == [f"t{i}" for i in range(20, 45)]
+        # doc 1 window 2 covers tokens 41..60
+        w12 = out[(out.doc_id == 1) & (out.win_id == 2)].iloc[0]
+        assert w12["n_tokens"] == 20
+        assert w12["win_text"].split() == [f"t{i}" for i in range(40, 60)]
