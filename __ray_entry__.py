@@ -3334,6 +3334,67 @@ def q_graph_rich_club(sf_dir):
     return rich_club(g.edges_ds())
 
 
+def q_graph_eff_diameter(sf_dir):
+    """Effective diameter over the deterministic 64-source BFS sample
+    (the ANF/HyperANF integer definition: smallest d such that >= 90%
+    of reachable ordered pairs with dist >= 1 are within d). Reduces
+    the already-oracle-checked wave-packed MSBFS product — no extra
+    graph pass; the cumulative-histogram compare is exact integer
+    arithmetic on both sides."""
+    ap = q_graph_apsp(sf_dir)
+    d = ap["dist"].to_numpy(np.int64)
+    d = d[d > 0]
+    tot = len(d)
+    hist = np.bincount(d)
+    cum = np.cumsum(hist)
+    eff = int(np.argmax(cum * 10 >= tot * 9))
+    return pd.DataFrame(
+        {"eff_diameter": np.array([eff], np.int64),
+         "n_pairs": np.array([tot], np.int64)}
+    )
+
+
+def q_graph_degree_hist(sf_dir):
+    """Undirected degree distribution of the pp co-order graph ->
+    (deg, n_nodes): per-batch endpoint-count partials, one bucketed
+    fold by hash(node), histogram partials folded over the BOUNDED
+    degree key — the two-level combiner every power-law degree plot
+    needs at 100 TB (no per-node rows ever reach the driver)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import partition_of
+    from raylinkgraph.pipelines.tpch_graph import get_graph
+
+    g = get_graph(sf_dir, "pp")
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        # the pp graph is stored SYMMETRIZED (both directions), so the
+        # undirected degree is the out-row count per src alone
+        u, c = np.unique(b["src_id"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame(
+            {"v": u, "c": c.astype(np.int64), "__p": partition_of(u, 32)}
+        )
+
+    def fold_deg(gdf: pd.DataFrame) -> pd.DataFrame:
+        agg = gdf.groupby("v", sort=False)["c"].sum()
+        dh = agg.value_counts()  # degree histogram partial for this bucket
+        return pd.DataFrame(
+            {"deg": dh.index.to_numpy(np.int64), "n": dh.to_numpy(np.int64)}
+        )
+
+    # pp edges are canonical u<v once each; degree = symmetric endpoint count
+    hist = (
+        g.edges_ds()
+        .map_batches(ends, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(fold_deg, batch_format="pandas")
+        .to_pandas()
+    )
+    out = hist.groupby("deg", as_index=False)["n"].sum()
+    out["n_nodes"] = out.pop("n").astype(np.int64)
+    return out.sort_values("deg").reset_index(drop=True)
+
+
 WIN_W, WIN_S = 30, 20
 
 
@@ -3410,6 +3471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scan_sim": q_graph_scan_sim,
         "graph_rich_club": q_graph_rich_club,
         "doc_token_windows": q_doc_token_windows,
+        "graph_eff_diameter": q_graph_eff_diameter,
+        "graph_degree_hist": q_graph_degree_hist,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5503,6 +5566,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             f"HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events) "
             f"ORDER BY user_id"
+        ),
+        "graph_eff_diameter": (
+            f"WITH p AS (SELECT dist FROM ({_apsp_sql(12, APSP_SRC)}) "
+            "WHERE dist > 0), "
+            "c AS (SELECT dist, COUNT(*) AS n FROM p GROUP BY dist), "
+            "cum AS (SELECT dist, SUM(n) OVER (ORDER BY dist) AS cn, "
+            "(SELECT COUNT(*) FROM p) AS tot FROM c) "
+            "SELECT CAST(MIN(dist) AS BIGINT) AS eff_diameter, "
+            "CAST(MIN(tot) AS BIGINT) AS n_pairs "
+            "FROM cum WHERE cn * 10 >= tot * 9"
+        ),
+        "graph_degree_hist": (
+            f"WITH pedges AS MATERIALIZED ({_PP_EDGES}), "
+            "n AS (SELECT u AS s FROM pedges UNION ALL SELECT v FROM pedges), "
+            "deg AS (SELECT s, COUNT(*) AS deg FROM n GROUP BY s) "
+            "SELECT deg, COUNT(*) AS n_nodes FROM deg "
+            "GROUP BY deg ORDER BY deg"
         ),
         "doc_token_windows": (
             r"WITH tk AS (SELECT doc_id, "
