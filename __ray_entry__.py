@@ -3395,6 +3395,29 @@ def q_graph_degree_hist(sf_dir):
     return out.sort_values("deg").reset_index(drop=True)
 
 
+def q_graph_edge_betweenness(sf_dir):
+    """Edge betweenness over the 8-source Brandes sample — a pure
+    post-pass on the backward job's final checkpoint (two partitioned
+    hash joins attach endpoint state vectors to the symmetric edge
+    table; one masked (rows, S) product; hash(pair) fold adds the two
+    orientations). algos/brandes.run_edge_betweenness; e5 quantization
+    like the vertex query."""
+    from raylinkgraph.algos.brandes import run_edge_betweenness
+    from raylinkgraph.algos.centrality import smallest_oids
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pp")
+    srcs = smallest_oids(g, BC_SRC)
+    out = run_edge_betweenness(g, workdir_for(sf_dir, "ebc"), srcs)
+    return pd.DataFrame(
+        {
+            "u": out["u"].to_numpy(np.int64),
+            "v": out["v"].to_numpy(np.int64),
+            "ebc_e5": np.floor(out["ebc"].to_numpy() * 1e5 + 0.5).astype(np.int64),
+        }
+    )
+
+
 WIN_W, WIN_S = 30, 20
 
 
@@ -3473,6 +3496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_windows": q_doc_token_windows,
         "graph_eff_diameter": q_graph_eff_diameter,
         "graph_degree_hist": q_graph_degree_hist,
+        "graph_edge_betweenness": q_graph_edge_betweenness,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -4896,9 +4920,11 @@ FROM p{rounds} WHERE {_CONV_OK} GROUP BY v ORDER BY oid
     )
 
 
-def _betweenness_sql(levels: int, n_src: int) -> str:
-    """Unrolled Brandes: per-level sigma forward, per-level delta backward
-    (level count bounded by ``levels``, a margin over the BFS depth)."""
+def _brandes_ctes(levels: int, n_src: int) -> "list[str]":
+    """Shared unrolled-Brandes CTE chain: per-level sigma forward,
+    per-level delta backward (level count bounded by ``levels``, a
+    margin over the BFS depth). Used by both the vertex and the edge
+    betweenness oracles."""
     ctes = [
         f"pedges AS MATERIALIZED ({_PP_EDGES})",
         "uedges AS MATERIALIZED (SELECT u AS s, v AS d FROM pedges "
@@ -4943,12 +4969,42 @@ def _betweenness_sql(levels: int, n_src: int) -> str:
         f"_conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM lev{levels}) THEN "
         f"error('betweenness oracle: level unroll insufficient') ELSE 1 END AS ok)"
     )
+    return ctes
+
+
+def _betweenness_sql(levels: int, n_src: int) -> str:
+    ctes = _brandes_ctes(levels, n_src)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
 SELECT mverts.v AS oid,
   CAST(FLOOR(COALESCE(bcsum.bc, 0) * 1e5 + 0.5) AS BIGINT) AS bc_e5
 FROM mverts LEFT JOIN bcsum ON bcsum.v = mverts.v WHERE {_CONV_OK} ORDER BY oid
+"""
+    )
+
+
+def _edge_betweenness_sql(levels: int, n_src: int) -> str:
+    """Edge accumulation over the same unroll (Brandes 2001 §4): a
+    directed (a -> b) with dist b = dist a + 1 carries
+    sigma_a / sigma_b * (1 + delta_b); both orientations of each
+    undirected edge sum into the canonical (u < v) pair."""
+    ctes = _brandes_ctes(levels, n_src)
+    V = f"vis{levels}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+, edep AS (
+  SELECT LEAST(a.v, b.v) AS u, GREATEST(a.v, b.v) AS v2,
+         a.sigma * (1.0 + COALESCE(d.delta, 0)) / b.sigma AS w
+  FROM {V} a JOIN uedges e ON e.s = a.v
+  JOIN {V} b ON b.s = a.s AND b.v = e.d AND b.dist = a.dist + 1
+  LEFT JOIN alld d ON d.s = a.s AND d.v = b.v)
+SELECT p.u, p.v,
+  CAST(FLOOR(COALESCE(SUM(edep.w), 0) * 1e5 + 0.5) AS BIGINT) AS ebc_e5
+FROM pedges p LEFT JOIN edep ON edep.u = p.u AND edep.v2 = p.v
+WHERE {_CONV_OK}
+GROUP BY p.u, p.v ORDER BY p.u, p.v
 """
     )
 
@@ -5447,6 +5503,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_betweenness64": _betweenness_sql(8, 64),
+        "graph_edge_betweenness": _edge_betweenness_sql(8, BC_SRC),
         "graph_scc": _scc_sql(4, 12),
         "graph_lpa_u2i": _lpa_u2i_sql(LPA_U2I_ROUNDS),
         "graph_corenum": _corenum_sql(60),

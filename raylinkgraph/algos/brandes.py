@@ -264,10 +264,8 @@ class BrandesBackward(Superstep):
         return completed_rounds >= self.maxlev
 
 
-def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
-    """-> pandas (oid, bc): bc = sum over the sampled sources of Brandes
-    dependencies (delta at each source itself excluded). One forward +
-    one backward BSP job for the whole source set (up to 64 sources).
+def _run_brandes_pair(graph, workdir: str, sources, engine: str):
+    """Shared forward+backward job pair; -> (sorted sources, back result).
 
     Backward dependency messages travel along OUT edges, which is only
     correct when the graph is symmetric — guard like the sibling
@@ -284,7 +282,6 @@ def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
         from raylinkgraph.bsp import run_bsp as runner
 
     sources = [int(s) for s in sorted(sources)]
-    S = len(sources)
     fwd = runner(
         graph, BrandesForward(sources), os.path.join(workdir, "fwd"),
         max_rounds=10_000, keep_steps=1,
@@ -296,6 +293,15 @@ def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
         os.path.join(workdir, "back"),
         max_rounds=max(0, maxlev),
     )
+    return sources, back
+
+
+def run_betweenness(graph, workdir: str, sources, *, engine: str = "dataset"):
+    """-> pandas (oid, bc): bc = sum over the sampled sources of Brandes
+    dependencies (delta at each source itself excluded). One forward +
+    one backward BSP job for the whole source set (up to 64 sources)."""
+    sources, back = _run_brandes_pair(graph, workdir, sources, engine)
+    S = len(sources)
     # assemble bc from the per-partition final state (delta matrices)
     sd = ckpt.step_dir(back.workdir, back.final_step)
     oid_parts, bc_parts = [], []
@@ -345,3 +351,172 @@ def run_betweenness_exact(graph, workdir: str, *, engine: str = "dataset"):
             assert np.array_equal(acc["oid"].to_numpy(), df["oid"].to_numpy())
             acc["bc"] = acc["bc"].to_numpy() + df["bc"].to_numpy()
     return acc
+
+
+def run_edge_betweenness(
+    graph, workdir: str, sources, *, engine: str = "dataset", buckets: int = 32
+):
+    """Edge betweenness over the sampled sources (Brandes 2001 \u00a74 edge
+    accumulation) -> pandas (u, v, ebc), u < v, every edge present.
+
+    No third BSP phase: a directed row (a -> b) carries dependency
+    sigma_s(a) / sigma_s(b) * (1 + delta_s(b)) for every source s with
+    dist_s(b) = dist_s(a) + 1, and dist/sigma/delta are all in the
+    backward job's final checkpoint. So the edge accumulation is a pure
+    post-pass: two partitioned ARROW-native bucket joins attach the
+    endpoints' state vectors to the symmetric edge table (state rows
+    travel ONCE per join, bucketed on the join key, fixed-size-list
+    columns kept zero-copy end-to-end — never through pandas object
+    columns), one vectorized (rows, S) masked product folds the
+    per-source sum, and a final hash(pair)-bucketed fold adds the two
+    orientations of each undirected edge. Intermediate rows carry
+    S-wide float vectors — the same payload shape the backward BSP
+    phase ships per round; at larger S, wave-split the sources exactly
+    like run_betweenness_exact.
+
+    On an undirected graph with ALL vertices as sources this equals
+    2 x networkx.edge_betweenness_centrality(normalized=False) (each
+    unordered (s, t) pair is counted from both endpoints)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import pair_hash
+
+    sources, back = _run_brandes_pair(graph, workdir, sources, engine)
+    S = len(sources)
+    fsl_i, fsl_f = pa.list_(pa.int64(), S), pa.list_(pa.float64(), S)
+    sd = ckpt.step_dir(back.workdir, back.final_step)
+    files = [
+        os.path.join(sd, f)
+        for f in sorted(os.listdir(sd))
+        if f.startswith("state-") and f.endswith(".parquet")
+    ]
+    st = rd.read_parquet(files, columns=["oid", "dist", "sigma", "delta"])
+    edges = graph.edges_ds().select_columns(["src_id", "dst_id"])
+
+    def _fsl(mat: np.ndarray, t: pa.DataType) -> pa.Array:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(mat).reshape(-1), t.value_type), S
+        )
+
+    STATE = ("dist", "sigma", "delta")
+    STATE_T = (fsl_i, fsl_f, fsl_f)
+
+    def _attach(edge_like: rd.Dataset, key_col: str, carry: "list[tuple[str, pa.DataType]]"):
+        """Bucket-join ``st`` onto ``edge_like`` by ``key_col``: both
+        sides tagged with hash(key) % buckets, unioned on a null-padded
+        common schema, resolved per group with a searchsorted over the
+        state side. -> Dataset of carry columns + dist/sigma/delta of
+        the key endpoint."""
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy(zero_copy_only=False)
+            cols = {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8)),
+                "__b": pa.array(partition_of(k, buckets), pa.int32()),
+            }
+            for c, t in carry:
+                cols[c] = b.column(c)
+            for c, t in zip(STATE, STATE_T):
+                cols["st_" + c] = pa.nulls(len(k), t)
+            return pa.table(cols)
+
+        def tag_state(b: pa.Table) -> pa.Table:
+            k = b.column("oid").to_numpy(zero_copy_only=False)
+            cols = {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8)),
+                "__b": pa.array(partition_of(k, buckets), pa.int32()),
+            }
+            for c, t in carry:
+                cols[c] = pa.nulls(len(k), t)
+            for c in STATE:
+                cols["st_" + c] = b.column(c).cast(
+                    STATE_T[STATE.index(c)]
+                )
+            return pa.table(cols)
+
+        def resolve(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            st_idx = np.flatnonzero(side == 1)
+            ed_idx = np.flatnonzero(side == 0)
+            keys = g.column("key").to_numpy(zero_copy_only=False)
+            skeys = keys[st_idx]
+            order = np.argsort(skeys)
+            pos = np.searchsorted(skeys[order], keys[ed_idx])
+            take = pa.array(st_idx[order[pos]], pa.int64())
+            etake = pa.array(ed_idx, pa.int64())
+            cols = {key_col: pa.array(keys[ed_idx], pa.int64())}
+            for c, t in carry:
+                cols[c] = g.column(c).take(etake)
+            for c in STATE:
+                cols[c] = g.column("st_" + c).take(take)
+            return pa.table(cols)
+
+        tagged_e = edge_like.map_batches(tag_edges, batch_format="pyarrow")
+        tagged_s = st.map_batches(tag_state, batch_format="pyarrow")
+        return (
+            tagged_e.union(tagged_s)
+            .groupby("__b")
+            .map_groups(resolve, batch_format="pyarrow")
+        )
+
+    # join 1: dst-side state -> per-edge g_b = (1 + delta_b) / sigma_b
+    j1 = _attach(edges, "dst_id", [("src_id", pa.int64())])
+
+    def dst_side(b: pa.Table) -> pa.Table:
+        dist_b = _np_state_col(b.column("dist"), fsl_i)
+        sig_b = _np_state_col(b.column("sigma"), fsl_f)
+        del_b = _np_state_col(b.column("delta"), fsl_f)
+        g = (1.0 + del_b) / np.where(sig_b > 0, sig_b, 1.0)
+        return pa.table(
+            {
+                "src_id": b.column("src_id"),
+                "dst_id": b.column("dst_id"),
+                "distd": _fsl(dist_b, fsl_i),
+                "gd": _fsl(g, fsl_f),
+            }
+        )
+
+    j1b = j1.map_batches(dst_side, batch_format="pyarrow")
+
+    # join 2: src-side state; then the masked per-source fold
+    j2 = _attach(
+        j1b, "src_id", [("dst_id", pa.int64()), ("distd", fsl_i), ("gd", fsl_f)]
+    )
+
+    def accumulate(b: pa.Table) -> pa.Table:
+        dist_a = _np_state_col(b.column("dist"), fsl_i)
+        sig_a = _np_state_col(b.column("sigma"), fsl_f)
+        dist_b = _np_state_col(b.column("distd"), fsl_i)
+        g = _np_state_col(b.column("gd"), fsl_f)
+        # guard the +1 against the UNREACHED sentinel before comparing
+        la = np.where(dist_a == UNREACHED, np.int64(-2), dist_a)
+        ok = dist_b == la + 1
+        w = (sig_a * g * ok).sum(axis=1)
+        s = b.column("src_id").to_numpy(zero_copy_only=False)
+        d = b.column("dst_id").to_numpy(zero_copy_only=False)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.float64()),
+                "__p": pa.array(
+                    partition_of(pair_hash(u, v), buckets), pa.int32()
+                ),
+            }
+        )
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        agg = gdf.groupby(["u", "v"], sort=False)["w"].sum().reset_index()
+        return agg.rename(columns={"w": "ebc"})
+
+    out = (
+        j2.map_batches(accumulate, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

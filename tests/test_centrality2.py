@@ -165,3 +165,74 @@ def test_betweenness_exact_all_sources_vs_networkx(setup, tmp_root):
     assert len(got) == G.number_of_nodes()
     for _, row in got.iterrows():
         assert abs(row["bc"] - 2.0 * want[int(row["oid"])]) < 1e-9, row["oid"]
+
+
+def test_edge_betweenness_networkx(setup, tmp_root):
+    """All-source edge betweenness = 2 x nx unnormalized (each unordered
+    pair counted from both endpoints on an undirected graph)."""
+    import networkx as nx
+
+    from raylinkgraph.algos.brandes import run_edge_betweenness
+
+    edges = random_edges(50, 260, seed=23)
+    g = LinkGraph.build(
+        rd.from_pandas(edges), os.path.join(tmp_root, "g-ebc-small"), P=4,
+        symmetrize=True,
+    )
+    G = nx.Graph()
+    G.add_edges_from(edges[["src_id", "dst_id"]].itertuples(index=False, name=None))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    all_srcs = sorted(G.nodes())
+    assert len(all_srcs) <= 64
+    got = run_edge_betweenness(g, os.path.join(tmp_root, "ck-ebc"), all_srcs)
+    want = nx.edge_betweenness_centrality(G, normalized=False)
+    assert len(got) == G.number_of_edges()
+    for u, v, ebc in got.itertuples(index=False):
+        w = want.get((u, v), want.get((v, u)))
+        assert abs(ebc - 2.0 * w) < 1e-9, (u, v)
+
+
+def test_edge_betweenness_sampled_ref(setup, tmp_root):
+    """Sampled-source edge betweenness against a single-process Brandes
+    edge accumulation of the same source set."""
+    import collections
+
+    from raylinkgraph.algos.brandes import run_edge_betweenness
+    from raylinkgraph.algos.centrality import smallest_oids
+
+    g, G = setup
+    srcs = [int(s) for s in smallest_oids(g, 8)]
+    got = run_edge_betweenness(g, os.path.join(tmp_root, "ck-ebc8"), srcs)
+
+    adj = {v: set(G[v]) for v in G}
+    ebc = collections.defaultdict(float)
+    for s in srcs:
+        dist = {s: 0}
+        sigma = collections.defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        frontier = [s]
+        d = 0
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = d + 1
+                        nxt.append(w)
+                        order.append(w)
+            for v in frontier:
+                for w in adj[v]:
+                    if dist[w] == d + 1:
+                        sigma[w] += sigma[v]
+            frontier = nxt
+            d += 1
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -2) == dist[w] - 1:
+                    c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                    delta[v] += c
+                    ebc[(min(v, w), max(v, w))] += c
+    for u, v, val in got.itertuples(index=False):
+        assert abs(val - ebc.get((u, v), 0.0)) < 1e-9, (u, v)
