@@ -3395,6 +3395,53 @@ def q_graph_degree_hist(sf_dir):
     return out.sort_values("deg").reset_index(drop=True)
 
 
+def q_events_value_zscore(sf_dir):
+    """Per-event z-score against its event-type's population moments —
+    the standard feature-normalization pass: exact integer (n, sum,
+    sum-of-squares) partials fold first (5 rows), then mean/std are
+    derived from those integers with the IDENTICAL double expression on
+    engine and oracle (IEEE ops from equal inputs are bit-equal), and
+    one stateless map_batches broadcasts the 5-row stats to every event.
+    z quantized e6."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        t = pd.DataFrame({"event_type": b["event_type"], "c": c, "cc": c * c})
+        return t.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), ss=("cc", "sum")
+        ).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", sort=True)[["n", "s", "ss"]].sum()
+    stats = {}
+    for et, r in agg.iterrows():
+        n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+        mean = s / (100.0 * n)
+        var = (n * ss - s * s) / (10000.0 * n * n)
+        stats[et] = (mean, np.sqrt(var))
+
+    def zscore(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["value"].to_numpy(np.float64) * 100.0 + 0.5)
+        mean = b["event_type"].map(lambda t: stats[t][0]).to_numpy(np.float64)
+        sd = b["event_type"].map(lambda t: stats[t][1]).to_numpy(np.float64)
+        z = (c / 100.0 - mean) / sd
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "z_e6": np.floor(z * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(zscore, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_graph_edge_betweenness(sf_dir):
     """Edge betweenness over the 8-source Brandes sample — a pure
     post-pass on the backward job's final checkpoint (two partitioned
@@ -3497,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_eff_diameter": q_graph_eff_diameter,
         "graph_degree_hist": q_graph_degree_hist,
         "graph_edge_betweenness": q_graph_edge_betweenness,
+        "events_value_zscore": q_events_value_zscore,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,
@@ -5696,6 +5744,20 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.5) AS BIGINT)) AS revenue_c "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
             "ORDER BY flag, status"
+        ),
+        "events_value_zscore": (
+            "WITH q AS (SELECT event_id, event_type, "
+            "FLOOR(value * 100 + 0.5) AS c FROM events), "
+            "a AS (SELECT event_type, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS s, "
+            "CAST(SUM(CAST(c AS BIGINT) * CAST(c AS BIGINT)) AS DOUBLE) AS ss "
+            "FROM q GROUP BY 1), "
+            "m AS (SELECT event_type, s / (100.0 * n) AS mean, "
+            "SQRT((n * ss - s * s) / (10000.0 * n * n)) AS sd FROM a) "
+            "SELECT q.event_id, CAST(FLOOR((q.c / 100.0 - m.mean) / m.sd "
+            "* 1e6 + 0.5) AS BIGINT) AS z_e6 "
+            "FROM q JOIN m USING (event_type) ORDER BY q.event_id"
         ),
         "events_value_stats": (
             "WITH q AS (SELECT event_type, "
