@@ -3395,6 +3395,21 @@ def q_graph_degree_hist(sf_dir):
     return out.sort_values("deg").reset_index(drop=True)
 
 
+def q_emb_kmeans(sf_dir):
+    """Spherical k-means over the embeddings table (8 cells) ->
+    (vec_id, cell, sim_e6). Rows-only for the driver (iterative
+    centroid fit is not SQL-expressible); pinned by pytest: planted
+    labels are recovered (cluster purity) and the assignment is
+    partition-invariant. functions/similarity.kmeans_assign."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import kmeans_assign
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = kmeans_assign(emb, n_clusters=8).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_events_value_zscore(sf_dir):
     """Per-event z-score against its event-type's population moments —
     the standard feature-normalization pass: exact integer (n, sum,
@@ -3545,6 +3560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_hist": q_graph_degree_hist,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "events_value_zscore": q_events_value_zscore,
+        "emb_kmeans": q_emb_kmeans,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
         "doc_token_counts": q_doc_token_counts,

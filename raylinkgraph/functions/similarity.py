@@ -371,14 +371,25 @@ def cosine_dup_pairs_lsh(
 
 
 def _spherical_kmeans(
-    X: np.ndarray, n_cells: int, n_iter: int = 10
+    X: np.ndarray, n_cells: int, n_iter: int = 10, init: str = "spaced"
 ) -> np.ndarray:
     """Deterministic spherical k-means over NORMALIZED rows: init =
-    evenly spaced training rows (no RNG), assign by max cosine, centroid
+    evenly spaced training rows (no RNG; ``init='farthest'`` uses a
+    deterministic farthest-first traversal instead — seeds never land
+    twice in one well-separated cluster), assign by max cosine, centroid
     = renormalized mean. Empty cells keep their previous centroid, so
     the result is stable and the cell count never collapses."""
     n = len(X)
-    C = X[np.linspace(0, n - 1, n_cells).astype(np.int64)].copy()
+    if init == "farthest":
+        idx = [0]
+        best = X @ X[0]  # max cosine to any chosen seed, per row
+        for _ in range(n_cells - 1):
+            nxt = int(np.argmin(best))
+            idx.append(nxt)
+            np.maximum(best, X @ X[nxt], out=best)
+        C = X[np.array(idx, dtype=np.int64)].copy()
+    else:
+        C = X[np.linspace(0, n - 1, n_cells).astype(np.int64)].copy()
     for _ in range(n_iter):
         assign = np.argmax(X @ C.T, axis=1)
         for c in range(n_cells):
@@ -660,4 +671,63 @@ def pca_project(
         embeddings.map_batches(project, batch_format="pyarrow"),
         comps,
         ev,
+    )
+
+
+def kmeans_assign(
+    embeddings: rd.Dataset,
+    n_clusters: int = 8,
+    *,
+    n_iter: int = 10,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Spherical k-means clustering as a first-class surface ->
+    (vec_id, cell, sim_e6): the coarse quantizer behind ivf_knn_cosine /
+    semantic_dedup exposed directly (the embedding-curation "cluster the
+    corpus" step of SemDeDup / DSIR-style pipelines).
+
+    Scale shape: centroids train driver-side on a deterministic modulo
+    sample (k x d doubles), ship ONCE via ray.put, and one actor-pool
+    map_batches assigns every row by max cosine — the corpus is never
+    shuffled and nothing proportional to it reaches the driver. Fully
+    deterministic (evenly-spaced init, no RNG); sim quantized e6."""
+    n_total = embeddings.count()
+    step = max(1, n_total // train_sample)
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % step == 0))
+
+    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    train = train.sort_values(id_col)
+    Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+    C = _spherical_kmeans(
+        Xt, min(n_clusters, len(Xt)), n_iter=n_iter, init="farthest"
+    )
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            sims = X @ self.C.T
+            cell = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(X)), cell]
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "cell": pa.array(cell.astype(np.int64)),
+                    "sim_e6": pa.array(
+                        np.floor(best * 1e6 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+    return embeddings.map_batches(
+        Assign, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )

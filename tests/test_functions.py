@@ -684,3 +684,55 @@ def test_token_windows_edges(ray_session):
         w12 = out[(out.doc_id == 1) & (out.win_id == 2)].iloc[0]
         assert w12["n_tokens"] == 20
         assert w12["win_text"].split() == [f"t{i}" for i in range(40, 60)]
+
+
+def test_kmeans_assign_planted_purity(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import kmeans_assign
+
+    # well-separated planted clusters: 4 orthogonal-ish directions + noise
+    rng = np.random.default_rng(5)
+    k, per, d = 4, 200, 32
+    centers = rng.normal(0, 1, (k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = np.repeat(np.arange(k), per)
+    X = centers[lab] + rng.normal(0, 0.05, (k * per, d))
+    order = rng.permutation(k * per)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(k * per, dtype=np.int64),
+            "embedding": list(X[order].astype(np.float32)),
+            "label": lab[order].astype(np.int64),
+        }
+    )
+    out = (
+        kmeans_assign(rd.from_pandas(df), n_clusters=k, train_sample=400)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    j = out.set_index("vec_id").join(df.set_index("vec_id")["label"])
+    purity = (
+        j.groupby("cell")["label"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity > 0.99, purity
+
+
+def test_kmeans_assign_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import kmeans_assign
+
+    SF = "/root/testdata/sf0.01"
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = (
+        kmeans_assign(emb, n_clusters=8)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(out) == emb.count()
+    out2 = (
+        kmeans_assign(emb.repartition(7), n_clusters=8)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out.equals(out2)
