@@ -3508,12 +3508,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_tailed": q_graph_tailed,
         "graph_3path": q_graph_3path,
         "graph_kclique4": q_graph_kclique4,
-        "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
         "doc_normalize": q_doc_normalize,
         "doc_top_terms": q_doc_top_terms,
-        "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
         # -- (2) round-4 additions ---------------------------------------
         "pg_counts": q_pg_counts,
         "pg_edges": q_pg_edges,
@@ -3522,11 +3520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pagerank": q_pg_pagerank,
         "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
         "graph_betweenness64": q_graph_betweenness64,
-        "graph_louvain_multilevel": q_graph_louvain_multilevel,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_dup_ngram_mass": q_doc_dup_ngram_mass,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_bm25": q_doc_bm25,
@@ -3539,11 +3535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_quotient": q_graph_quotient,
         "events_funnel": q_events_funnel,
         "events_user_gaps": q_events_user_gaps,
-        "pages_host_graph": q_pages_host_graph,
         "graph_node2vec": q_graph_node2vec,
-        "emb_pca": q_emb_pca,
         "rel_nation_revenue": q_rel_nation_revenue,
-        "pages_anchor_texts": q_pages_anchor_texts,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_curation": q_doc_curation,
         "graph_eccentricity": q_graph_eccentricity,
@@ -3560,6 +3553,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_hist": q_graph_degree_hist,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "events_value_zscore": q_events_value_zscore,
+        # -- (2c) rows-only r4 queries (no SQL oracle; placed after the
+        #    50-row driver cap so every capped row is a hash-exact check;
+        #    each is pytest-pinned) --------------------------------------
+        "doc_ngram_pairs": q_doc_ngram_pairs,
+        "doc_distinct_terms_hll": q_doc_distinct_terms_hll,
+        "graph_louvain_multilevel": q_graph_louvain_multilevel,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "pages_host_graph": q_pages_host_graph,
+        "emb_pca": q_emb_pca,
+        "pages_anchor_texts": q_pages_anchor_texts,
         "emb_kmeans": q_emb_kmeans,
         # -- (3) driver-green in rounds 1-3 ------------------------------
         "rel_csv_roundtrip": q_rel_csv_roundtrip,
