@@ -1569,6 +1569,19 @@ def q_doc_dsir_weights(sf_dir):
     )
 
 
+def q_doc_lm_score(sf_dir):
+    """CCNet-style LM quality scoring (arXiv:1911.00359): per-doc
+    log-probability under an add-one-smoothed bigram model fit on the
+    lang='en' slice; per-bigram lambdas int-e6-quantized so doc scores
+    are order-free integer sums. functions/lm.bigram_lm_logprob."""
+    from raylinkgraph.functions.lm import bigram_lm_logprob
+
+    return (
+        bigram_lm_logprob(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_doc_bpe_tokens(sf_dir):
     """Whitespace + GPT-2-style BPE-ish token counts per doc; the regex
     is the identical string on both engine (Python re) and oracle
@@ -3553,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_hist": q_graph_degree_hist,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "events_value_zscore": q_events_value_zscore,
+        "doc_lm_score": q_doc_lm_score,
         # -- (2c) rows-only r4 queries (no SQL oracle; placed after the
         #    50-row driver cap so every capped row is a hash-exact check;
         #    each is pytest-pinned) --------------------------------------
@@ -5952,6 +5966,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "doc_lm_score": (
+            "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "big AS (SELECT doc_id, lang, "
+            "unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p "
+            "FROM toks WHERE len(w) >= 2), "
+            "bigf AS (SELECT doc_id, lang, p[1] AS v, p[2] AS u FROM big), "
+            "cvw AS (SELECT v, u, COUNT(*) AS c FROM bigf "
+            "WHERE lang = 'en' GROUP BY v, u), "
+            "cv AS (SELECT v, COUNT(*) AS c FROM bigf "
+            "WHERE lang = 'en' GROUP BY v), "
+            "voc AS (SELECT COUNT(DISTINCT tok) AS nv FROM "
+            "(SELECT unnest(w) AS tok FROM toks WHERE lang = 'en')), "
+            "lam AS (SELECT d.v, d.u, CAST(floor(ln("
+            "(COALESCE(cvw.c, 0) + 1.0) / (COALESCE(cv.c, 0) + voc.nv)"
+            ") * 1000000 + 0.5) AS BIGINT) AS l "
+            "FROM (SELECT DISTINCT v, u FROM bigf) d "
+            "LEFT JOIN cvw USING (v, u) LEFT JOIN cv USING (v) "
+            "CROSS JOIN voc), "
+            "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(l) AS BIGINT) AS logprob_e6 "
+            "FROM bigf JOIN lam USING (v, u) GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, logprob_e6 FROM per ORDER BY doc_id"
         ),
         "events_json_stats": (
             "WITH x AS (SELECT event_type, "

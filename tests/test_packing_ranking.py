@@ -106,3 +106,65 @@ def test_dsir_hashed_variant_and_direction(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(exact, b)
+
+
+def test_bigram_lm_logprob_brute_force(ray_session):
+    from raylinkgraph.functions.lm import bigram_lm_logprob
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "lang": ["en", "en", "fr", "en", "fr", "en"],
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat",
+                "le chat noir",
+                "the cat ran",
+                "chat",          # single token: no bigrams, no output row
+                "dog the cat",
+            ],
+        }
+    )
+    out = (
+        bigram_lm_logprob(rd.from_pandas(docs), buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute-force reference model on the en slice
+    train = [t.split(" ") for t, l in zip(docs.text, docs.lang) if l == "en"]
+    from collections import Counter
+    cvw, cv, vocab = Counter(), Counter(), set()
+    for w in train:
+        vocab.update(w)
+        for v, u in zip(w[:-1], w[1:]):
+            cvw[(v, u)] += 1
+            cv[v] += 1
+    V = len(vocab)
+    exp = {}
+    for did, t in zip(docs.doc_id, docs.text):
+        w = t.split(" ")
+        if len(w) < 2:
+            continue
+        s = 0
+        for v, u in zip(w[:-1], w[1:]):
+            s += int(np.floor(np.log((cvw[(v, u)] + 1.0) / (cv[v] + V)) * 1e6 + 0.5))
+        exp[did] = (len(w) - 1, s)
+    assert len(out) == len(exp)
+    for _, r in out.iterrows():
+        assert (r["n_bigrams"], r["logprob_e6"]) == exp[r["doc_id"]], r["doc_id"]
+    # en docs must on average score higher than the fr doc under the en LM
+    en_mean = out[out.doc_id.isin([0, 1, 3, 5])].apply(
+        lambda r: r.logprob_e6 / r.n_bigrams, axis=1).mean()
+    fr = out[out.doc_id == 2].iloc[0]
+    assert en_mean > fr.logprob_e6 / fr.n_bigrams
+
+
+def test_bigram_lm_bucket_invariance_and_empty_slice(ray_session):
+    from raylinkgraph.functions.lm import bigram_lm_logprob
+
+    a = bigram_lm_logprob(_docs(), buckets=8).to_pandas()
+    b = bigram_lm_logprob(_docs(), buckets=32, batch_size=97).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="empty training slice"):
+        bigram_lm_logprob(_docs(), target_val="zz").to_pandas()
