@@ -1594,6 +1594,36 @@ def q_doc_bpe_tokens(sf_dir):
     )
 
 
+def q_rel_customers_no_orders(sf_dir):
+    """Anti join (TPC-H Q22 flavor): customers with no URGENT order,
+    via hash_join(how='anti') — only the right side's distinct keys
+    move, never its rows; broadcast_limit=0 forces the partitioned
+    bucket path so the driver exercises the 100TB shape. Semi is the
+    same operator with the mask flipped (pytest-pinned)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylinkgraph.functions.joins import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        cust, urgent, on="c_custkey", right_on="o_custkey",
+        how="anti", broadcast_limit=0,
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_events_json_stats(sf_dir):
     """JSON prop flatten-then-aggregate: extract int field 'k' from the
     props JSON-string column (vectorized regex, no per-row json.loads)
@@ -3567,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "events_value_zscore": q_events_value_zscore,
         "doc_lm_score": q_doc_lm_score,
+        "rel_customers_no_orders": q_rel_customers_no_orders,
         # -- (2c) rows-only r4 queries (no SQL oracle; placed after the
         #    50-row driver cap so every capped row is a hash-exact check;
         #    each is pytest-pinned) --------------------------------------
@@ -5966,6 +5997,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "rel_customers_no_orders": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"
         ),
         "doc_lm_score": (
             "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w "

@@ -69,11 +69,18 @@ def hash_join(
     """Equi-join ``left`` with ``right`` on one key column.
 
     Output columns: every left column, then right's non-key columns
-    (``rsuffix``-renamed on clashes). ``how`` is ``inner`` or ``left``.
+    (``rsuffix``-renamed on clashes). ``how`` is ``inner``, ``left``,
+    ``semi`` (left rows whose key EXISTS in right; left columns only)
+    or ``anti`` (left rows whose key does NOT exist in right).
     Right sides of at most ``broadcast_limit`` rows are broadcast;
     larger ones go through the partitioned bucket join. Row order is
     not defined (sort downstream if needed).
     """
+    if how in ("semi", "anti"):
+        return _filter_join(
+            left, right, on, right_on or on, how,
+            broadcast_limit=broadcast_limit, buckets=buckets,
+        )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     right_on = right_on or on
@@ -176,4 +183,89 @@ def hash_join(
     tr = right.map_batches(tag_right, batch_format="pyarrow")
     return tl.union(tr).groupby("bucket").map_groups(
         join_group, batch_format="pandas"
+    )
+
+
+def _filter_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str,
+    how: str,
+    *,
+    broadcast_limit: int,
+    buckets: int,
+) -> rd.Dataset:
+    """semi / anti join: keep left rows by key membership in right.
+
+    Only right's KEY column ever moves — the right side is reduced to
+    its distinct keys per batch before anything is shipped, so the
+    broadcast is a key set (not the table) and the partitioned path
+    unions key rows only. Output schema = left's schema, unchanged."""
+    left_cols = list(left.schema().names)
+    keep_present = how == "semi"
+
+    rkeys_ds = right.select_columns([right_on]).map_batches(
+        lambda b: b.select([right_on]).group_by([right_on]).aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    if right.count() <= broadcast_limit:
+        rk = rkeys_ds.to_pandas()[right_on].unique()
+        ref = ray.put(rk)
+
+        class MembershipFilter:
+            def __init__(self):
+                self.keys = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                m = batch[on].isin(self.keys)
+                return batch[m if keep_present else ~m]
+
+        return left.map_batches(
+            MembershipFilter, batch_format="pandas", concurrency=(1, 8)
+        )
+
+    # partitioned path: left rows + right key rows share hash(key)
+    # buckets; per bucket, one vectorized isin over the local key set
+    lschema = _pa_schema(left)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch.column(on), buckets)
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["bucket"] = pa.array(b, pa.int32())
+        cols["is_right"] = pa.array(np.zeros(len(b), np.bool_))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch.column(right_on), buckets)
+        cols = {
+            c: pa.nulls(len(b), lschema.field(c).type) for c in left_cols
+        }
+        cols[on] = batch.column(right_on).cast(lschema.field(on).type)
+        cols["bucket"] = pa.array(b, pa.int32())
+        cols["is_right"] = pa.array(np.ones(len(b), np.bool_))
+        return pa.table(cols)
+
+    # union null-padding coerces left int columns to float in the
+    # pandas group frame; restore after the filter
+    int_restore = {
+        c: lschema.field(c).type.to_pandas_dtype()
+        for c in left_cols
+        if pa.types.is_integer(lschema.field(c).type)
+    }
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g.loc[g["is_right"], on].unique()
+        l = g[~g["is_right"]]
+        m = l[on].isin(rk)
+        out = l.loc[m if keep_present else ~m, left_cols].copy()
+        for c, dt in int_restore.items():
+            out[c] = out[c].astype(dt)
+        return out
+
+    tl = left.map_batches(tag_left, batch_format="pyarrow")
+    tr = rkeys_ds.map_batches(tag_right, batch_format="pyarrow")
+    return tl.union(tr).groupby("bucket").map_groups(
+        filter_group, batch_format="pandas"
     )

@@ -113,3 +113,40 @@ def test_hash_join_rejects_bad_how(ray_session):
             rd.from_pandas(left), rd.from_pandas(right),
             on="k", right_on="rk", how="outer",
         )
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_filter_join_paths_agree_with_pandas(ray_session, how):
+    left, right = _mk()
+    exists = left["k"].isin(right["rk"].unique())
+    want = left[exists if how == "semi" else ~exists].reset_index(drop=True)
+    for limit in (10**6, 0):  # broadcast path, then partitioned path
+        got = (
+            hash_join(
+                rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+                on="k", right_on="rk", how=how,
+                broadcast_limit=limit, buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "x"]).reset_index(drop=True)
+        )
+        w = want.sort_values(["k", "x"]).reset_index(drop=True)
+        assert list(got.columns) == list(left.columns)
+        pd.testing.assert_frame_equal(got, w)
+        assert got["k"].dtype == np.int64  # int dtype restored on both paths
+
+
+def test_filter_join_string_key(ray_session):
+    left = pd.DataFrame(
+        {"k": [f"u{i % 5}" for i in range(40)], "v": np.arange(40, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"k": ["u0", "u3", "u9"]})
+    want_semi = left[left["k"].isin({"u0", "u3"})].reset_index(drop=True)
+    got = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", how="semi", broadcast_limit=0, buckets=3,
+        )
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want_semi)
