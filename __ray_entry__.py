@@ -1594,6 +1594,18 @@ def q_doc_bpe_tokens(sf_dir):
     )
 
 
+def q_doc_word_entropy(sf_dir):
+    """Per-doc unigram Shannon entropy (information-density curation
+    gate): per-word-type integer-quantized c*ln(c) contributions sum
+    order-free; zero shuffle. functions/textops.word_entropy."""
+    from raylinkgraph.functions.textops import word_entropy
+
+    return (
+        word_entropy(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_rel_customers_no_orders(sf_dir):
     """Anti join (TPC-H Q22 flavor): customers with no URGENT order,
     via hash_join(how='anti') — only the right side's distinct keys
@@ -3598,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": q_events_value_zscore,
         "doc_lm_score": q_doc_lm_score,
         "rel_customers_no_orders": q_rel_customers_no_orders,
+        "doc_word_entropy": q_doc_word_entropy,
         # -- (2c) rows-only r4 queries (no SQL oracle; placed after the
         #    50-row driver cap so every capped row is a hash-exact check;
         #    each is pytest-pinned) --------------------------------------
@@ -5997,6 +6010,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "doc_word_entropy": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok "
+            "GROUP BY doc_id, w), "
+            "per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+            "CAST(COUNT(*) AS BIGINT) AS distinct_words, "
+            "CAST(SUM(CAST(floor(c * ln(c) * 1000000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS clogc_e6 FROM cnt GROUP BY doc_id) "
+            "SELECT doc_id, n_words, distinct_words, clogc_e6, "
+            "CAST(floor(ln(n_words) * 1000000 - clogc_e6 * 1.0 / n_words "
+            "+ 0.5) AS BIGINT) AS entropy_e6 FROM per ORDER BY doc_id"
         ),
         "rel_customers_no_orders": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer c "

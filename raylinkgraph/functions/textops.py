@@ -846,3 +846,53 @@ def token_windows(
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def word_entropy(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-document unigram Shannon entropy, the information-density
+    quality signal (low entropy = repetitive/templated text; used as a
+    curation gate alongside the Gopher repetition stats above) ->
+    (doc_id, n_words, distinct_words, clogc_e6, entropy_e6) with
+
+      clogc_e6   = sum over word types of floor(c * ln(c) * 1e6 + 0.5)
+      entropy_e6 = floor(ln(n) * 1e6 - clogc_e6 / n + 0.5)
+                 ~ 1e6 * (ln n - (1/n) * sum c ln c)   [nats]
+
+    Zero shuffle — everything is local to the document. Parity device:
+    the transcendental ln is applied per INTEGER count and quantized to
+    int before the per-doc sum, so the aggregate is order-free; the
+    final entropy combines one ln, one exactly-rounded divide and
+    subtract, identical IEEE ops on both engine and DuckDB sides. Word
+    split matches string_split(text, ' ') exactly."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch[text_col].str.split(" ", regex=False)
+        lens = lists.str.len().to_numpy(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        words = np.concatenate(lists.to_numpy()) if len(lens) else np.array([], object)
+        order = np.lexsort((words, doc_idx))
+        di, wo = doc_idx[order], words[order]
+        new = np.r_[True, (di[1:] != di[:-1]) | (wo[1:] != wo[:-1])] \
+            if len(di) else np.array([], bool)
+        distinct = np.bincount(di[new], minlength=len(lens)).astype(np.int64)
+        run_id = np.cumsum(new) - 1
+        c = np.bincount(run_id).astype(np.float64)  # per-type counts
+        contrib = np.floor(c * np.log(c) * 1e6 + 0.5)  # int-valued doubles
+        clogc = np.bincount(
+            di[new], weights=contrib, minlength=len(lens)
+        ).astype(np.int64)  # exact: integer-valued doubles < 2^53
+        n = lens.astype(np.float64)
+        ent = np.floor(np.log(n) * 1e6 - clogc / n + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "n_words": lens,
+                "distinct_words": distinct,
+                "clogc_e6": clogc,
+                "entropy_e6": ent,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")

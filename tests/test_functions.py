@@ -736,3 +736,40 @@ def test_kmeans_assign_partition_invariant(ray_session):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_word_entropy_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from raylinkgraph.functions.textops import word_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b c d",          # uniform: entropy = ln 4
+                "a a a a",          # degenerate: entropy = 0
+                "x",                # single token: n=1, entropy = 0
+                "a a b c",
+            ],
+        }
+    )
+    out = (
+        word_entropy(rd.from_pandas(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        w = docs.loc[docs.doc_id == r.doc_id, "text"].iloc[0].split(" ")
+        from collections import Counter
+        cc = Counter(w)
+        clogc = sum(int(np.floor(c * math.log(c) * 1e6 + 0.5)) for c in cc.values())
+        n = len(w)
+        ent = int(np.floor(math.log(n) * 1e6 - clogc / n + 0.5))
+        assert r.n_words == n and r.distinct_words == len(cc)
+        assert r.clogc_e6 == clogc and r.entropy_e6 == ent, r.doc_id
+    # pinned values: uniform doc = ln(4)*1e6, degenerate/single = 0
+    assert out.loc[0, "entropy_e6"] == int(np.floor(np.log(4.0) * 1e6 + 0.5))
+    assert out.loc[1, "entropy_e6"] == 0
+    assert out.loc[2, "entropy_e6"] == 0
