@@ -1935,6 +1935,59 @@ def q_media_features(sf_dir):
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_phash_pairs(sf_dir):
+    """Visual near-dup pairs over REAL PPM payloads: exact-dup docs (the
+    documents table plants text duplicates) render to byte-identical
+    rasters, so their aHashes collide at Hamming 0; the banded 64-bit
+    signature join (dedup.hash64_band_pairs) finds them without any
+    all-pairs scan. Rows-only check; recall pinned by pytest."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import phash_dup_pairs
+
+    docs = _docs(sf_dir).to_pandas().head(200)
+    W = H = 24
+    need = W * H * 3
+
+    def to_ppm(text: str) -> bytes:
+        raw = text.encode("utf-8")
+        reps = -(-need // max(len(raw), 1))
+        px = (raw * reps)[:need]
+        return f"P6\n{W} {H}\n255\n".encode() + px
+
+    payloads = [to_ppm(t) for t in docs["text"]]
+    ids = list(docs["doc_id"].to_numpy(np.int64))
+    # plant 10 deterministic visual near-copies: brighten the first 100
+    # pixel bytes of docs 0..9 by +3 (tiny block-mean shift, Hamming ~0)
+    hdr = payloads[0].index(b"\n255\n") + 5
+    for i in range(10):
+        px = bytearray(payloads[i])
+        for j in range(hdr, hdr + 100):
+            px[j] = min(px[j] + 3, 255)
+        payloads.append(bytes(px))
+        ids.append(1_000_000 + ids[i])
+    media = pa.table(
+        {
+            "media_id": pa.array(np.array(ids, np.int64), pa.int64()),
+            "mime": pa.array(
+                ["image/x-portable-pixmap"] * len(ids), pa.string()
+            ),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+            "height": pa.array(np.zeros(len(ids), np.int32), pa.int32()),
+        }
+    )
+    out = phash_dup_pairs(rd.from_arrow(media), max_hamming=3).to_pandas()
+    if not len(out):
+        out = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64),
+             "b": pd.Series([], dtype=np.int64),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_media_audio(sf_dir):
     """Audio decode over REAL PCM WAV payloads synthesized per doc (tone
     frequency keyed by doc_id): RIFF parse, per-frame RMS energy and
@@ -3645,6 +3698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_audio": q_media_audio,
         "media_video": q_media_video,
+        "media_phash_pairs": q_media_phash_pairs,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

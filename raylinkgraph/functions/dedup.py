@@ -381,30 +381,62 @@ class SimHasher:
 def simhash_pairs(
     docs: rd.Dataset, *, max_hamming: int = 3, concurrency=(1, 4)
 ) -> rd.Dataset:
-    """Near-dup pairs by SimHash: band on 4x16-bit chunks (any chunk equal
-    -> candidate; catches all pairs with Hamming <= 3 by pigeonhole),
-    verify Hamming <= max_hamming -> (a, b, hamming)."""
+    """Near-dup pairs by SimHash: band on (max_hamming+1) chunks (any
+    chunk equal -> candidate; catches all pairs with Hamming <=
+    max_hamming by pigeonhole), verify Hamming -> (a, b, hamming)."""
     sig = docs.map_batches(
         SimHasher, batch_format="pandas", concurrency=concurrency, num_cpus=1
     )
+    return hash64_band_pairs(
+        sig, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming
+    )
+
+
+def hash64_band_pairs(
+    sig: rd.Dataset,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    maxb: int = 2000,
+) -> rd.Dataset:
+    """Generic near-dup pairs over ANY 64-bit signature column (SimHash
+    text signatures, image perceptual hashes, ...) -> (a, b, hamming).
+
+    Banding: the 64 bits split into B = max_hamming + 1 nearly-even
+    chunks; two signatures at Hamming <= max_hamming must agree on at
+    least one chunk (pigeonhole), so candidate generation is
+    recall-complete. The (chunk, key) space is unbounded -> hashed down
+    to 64 fixed partitions (the engine-wide any-key rule); hot buckets
+    sub-split on splitmix64 of the full signature with counted,
+    logged chunk residue — degraded recall is reported, never silent."""
+    from raylinkgraph.functions.hashing import pair_hash, partition_of, splitmix64
+
+    B = max_hamming + 1
+    if not 1 <= B <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    width = 64 // B
+    shifts = [k * width for k in range(B)]
+    masks = [
+        (1 << width) - 1 if k < B - 1 else (1 << (64 - shifts[-1])) - 1
+        for k in range(B)
+    ]
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(np.int64).astype(np.uint64)
-        rows = []
-        for chunk in range(4):
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "chunk": np.full(len(h), chunk, np.int32),
-                        "key": ((h >> _U64(16 * chunk)) & _U64(0xFFFF)).astype(np.int64),
-                        "doc_id": batch["doc_id"].to_numpy(np.int64),
-                        "simhash": h.astype(np.int64),
-                    }
-                )
+        h = batch[hash_col].to_numpy(np.int64).astype(np.uint64)
+        ids = batch[id_col].to_numpy(np.int64)
+        rows = [
+            pd.DataFrame(
+                {
+                    "chunk": np.full(len(h), k, np.int32),
+                    "key": ((h >> _U64(shifts[k])) & _U64(masks[k])).astype(np.int64),
+                    "id": ids,
+                    "sig": h.astype(np.int64),
+                }
             )
+            for k in range(B)
+        ]
         return pd.concat(rows, ignore_index=True)
-
-    MAXB = 2000
 
     def pairs_of(ids: np.ndarray, h: np.ndarray) -> pd.DataFrame:
         iu, ju = np.triu_indices(len(ids), k=1)
@@ -416,46 +448,43 @@ def simhash_pairs(
                 break
             ham[nz] += 1
             x = x & (x - _U64(1))
-        keep = ham <= 3
-        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]})
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]}
+        )
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
              "hamming": pd.Series([], dtype=np.int64)}
         )
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        g = g.drop_duplicates("id").sort_values("id")
         n = len(g)
         if n < 2:
             return empty
-        ids = g["doc_id"].to_numpy(np.int64)
-        h = g["simhash"].to_numpy(np.int64).astype(np.uint64)
-        if n <= MAXB:
+        ids = g["id"].to_numpy(np.int64)
+        h = g["sig"].to_numpy(np.int64).astype(np.uint64)
+        if n <= maxb:
             return pairs_of(ids, h)
-        # hot bucket: sub-split on the OTHER half of the simhash (near-dups
-        # at Hamming<=3 almost always agree there); chunk any residue and
-        # log the skipped cross-chunk comparisons instead of dropping all
-        n_sub = int(np.ceil(n / MAXB))
-        sub = ((h >> _U64(32)) % np.uint64(n_sub)).astype(np.int64)
+        # hot bucket: sub-split on a full-signature mix (near-dups agree
+        # on almost all bits, so they usually collide); chunk any residue
+        # and log the skipped cross-chunk comparisons instead of dropping
+        n_sub = int(np.ceil(n / maxb))
+        sub = (splitmix64(h.astype(np.int64)) % np.uint64(n_sub)).astype(np.int64)
         parts, skipped = [], 0
         for s in np.unique(sub):
             m = sub == s
             sids, sh = ids[m], h[m]
-            for lo in range(0, len(sids), MAXB):
-                hi = min(lo + MAXB, len(sids))
+            for lo in range(0, len(sids), maxb):
+                hi = min(lo + maxb, len(sids))
                 parts.append(pairs_of(sids[lo:hi], sh[lo:hi]))
-            if len(sids) > MAXB:
+            if len(sids) > maxb:
                 skipped += 1
         if skipped:
-            print(f"[simhash] hot bucket (n={n}): {skipped} sub-buckets chunked",
+            print(f"[hash64_band] hot bucket (n={n}): {skipped} sub-buckets chunked",
                   file=sys.stderr)
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
-
-    # (chunk, key) has up to 4 * 2^16 distinct values — hash it down to
-    # fixed partitions (Ray groupby dispatches Python-per-group) and walk
-    # the buckets as pandas sub-groups inside each partition
-    from raylinkgraph.functions.hashing import pair_hash, partition_of
 
     def tag_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -492,8 +521,7 @@ def simhash_pairs(
         return b
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["a", "b"]).drop(columns="__q")
-        return g[g["hamming"] <= max_hamming]
+        return g.drop_duplicates(["a", "b"]).drop(columns="__q")
 
     return (
         pairs.map_batches(tag_pair, batch_format="pandas")

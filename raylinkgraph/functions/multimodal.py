@@ -663,3 +663,77 @@ def fake_media_table(n: int, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def _ahash64(img: np.ndarray) -> np.uint64:
+    """64-bit average-hash: 8x8 grayscale block means, bit set where the
+    block mean exceeds the mean of the 64 block means. Robust to
+    resizing / mild noise; Hamming distance measures visual change."""
+    g = _block_mean(img.mean(axis=2), 8).ravel()
+    bits = g > g.mean()
+    return np.uint64(np.packbits(bits[::-1]).view(">u8")[0])
+
+
+class PerceptualHash:
+    """payload -> 64-bit aHash. Real for PPM/BMP; non-decodable payloads
+    get a deterministic content-hash stand-in with ``fake=True`` (two
+    byte-identical payloads still collide exactly), else raise."""
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(len(batch), np.uint64)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            img = decode_image_array(p)
+            if img is not None:
+                out[i] = _ahash64(img)
+            elif self.fake:
+                out[i] = np.frombuffer(
+                    hashlib.sha256(p).digest()[:8], dtype=">u8"
+                )[0]
+            else:
+                raise NotImplementedError(
+                    "perceptual hash of non-PPM/BMP payloads needs PIL"
+                )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "phash": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def image_phash(
+    media: rd.Dataset, *, fake: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 32,
+) -> rd.Dataset:
+    """-> (media_id, phash): actor-pool perceptual hashing; payloads are
+    dropped at the actor so only 16 bytes/row continue downstream."""
+    return media.map_batches(
+        PerceptualHash,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def phash_dup_pairs(
+    media: rd.Dataset, *, max_hamming: int = 3, fake: bool = True,
+    concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 32,
+) -> rd.Dataset:
+    """Visual near-duplicate pairs -> (a, b, hamming): perceptual aHash
+    per image, then the generic banded 64-bit-signature join
+    (dedup.hash64_band_pairs — recall-complete at <= max_hamming by
+    pigeonhole, hot buckets sub-split with logged residue). The image
+    payloads never shuffle; only (media_id, phash) rows do."""
+    from raylinkgraph.functions.dedup import hash64_band_pairs
+
+    sig = image_phash(
+        media, fake=fake, concurrency=concurrency, batch_size=batch_size
+    )
+    return hash64_band_pairs(
+        sig, id_col="media_id", hash_col="phash", max_hamming=max_hamming
+    )

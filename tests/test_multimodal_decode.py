@@ -125,3 +125,68 @@ def test_wav_decode_and_features(ray_session):
     # pure tone: zero-crossing rate ~ 2 * f0 / rate, definitely positive
     assert (feats["zcr"] > 0.01).all()
     assert decode_wav(b"not a wav at all") is None
+
+
+def _ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def test_phash_planted_visual_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import MEDIA_SCHEMA, phash_dup_pairs
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:40, 0:40]
+    base = np.stack([xx * 6, yy * 6, (xx + yy) * 3], axis=2).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(np.int64) + rng.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    inverted = 255 - base
+    imgs = [base, noisy, inverted]
+    t = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64), pa.int64()),
+            "mime": pa.array(["image/x-portable-pixmap"] * 3, pa.string()),
+            "payload": pa.array([_ppm(i) for i in imgs], pa.large_binary()),
+            "width": pa.array(np.full(3, 40, np.int32), pa.int32()),
+            "height": pa.array(np.full(3, 40, np.int32), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    pairs = (
+        phash_dup_pairs(rd.from_arrow(t), max_hamming=3)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # the noisy copy pairs with the original; the inverted image doesn't
+    assert [(0, 1)] == list(zip(pairs.a, pairs.b)), pairs
+    assert pairs.hamming.iloc[0] <= 3
+
+
+def test_phash_partition_invariant_and_identical_fakes(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.multimodal import (
+        fake_media_table, image_phash, phash_dup_pairs, ppm_media_table,
+    )
+
+    t = ppm_media_table(60, seed=7)
+    a = image_phash(rd.from_arrow(t)).to_pandas().sort_values("media_id")
+    b = (
+        image_phash(rd.from_arrow(t).repartition(7))
+        .to_pandas().sort_values("media_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # fake (non-decodable) path: byte-identical payloads collide exactly
+    import pyarrow as pa
+
+    f = fake_media_table(4, seed=1)
+    dup = f.set_column(
+        0, "media_id", pa.array(np.array([10, 11, 12, 13], np.int64))
+    )
+    both = pa.concat_tables([f, dup])
+    pairs = phash_dup_pairs(rd.from_arrow(both), max_hamming=0).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert got == {(0, 10), (1, 11), (2, 12), (3, 13)}, got
