@@ -1582,6 +1582,33 @@ def q_doc_lm_score(sf_dir):
     )
 
 
+def q_doc_importance_sample(sf_dir):
+    """The full DSIR selection pipeline: dsir_weights (oracle-exact
+    upstream) -> exp(importance) weights -> Gumbel-top-k weighted
+    sample without replacement (sketches.weighted_sample_k, a pure
+    function of the id set — no RNG). Rows-only (the splitmix Gumbel
+    keys are not SQL-expressible); sequential replay pinned by pytest."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.dsir import dsir_weights
+    from raylinkgraph.functions.sketches import weighted_sample_k
+
+    wts = dsir_weights(_docs(sf_dir)).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                # exp saturates for |importance| > ~700e6; scores are
+                # well inside that for word-distribution ratios
+                "w": np.exp(b["importance_e6"].to_numpy(np.float64) / 1e6),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = weighted_sample_k(wts, "doc_id", "w", 50)
+    out["w_e6"] = np.floor(out["w"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return out[["doc_id", "w_e6"]].reset_index(drop=True)
+
+
 def q_doc_bpe_tokens(sf_dir):
     """Whitespace + GPT-2-style BPE-ish token counts per doc; the regex
     is the identical string on both engine (Python re) and oracle
@@ -3699,6 +3726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio": q_media_audio,
         "media_video": q_media_video,
         "media_phash_pairs": q_media_phash_pairs,
+        "doc_importance_sample": q_doc_importance_sample,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

@@ -266,3 +266,57 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int) -> pd.DataFrame:
     agg = exact.groupby("value", as_index=False)["n"].sum()
     hot = agg[agg["n"].to_numpy(np.int64) * k > total]
     return hot.sort_values("value").reset_index(drop=True)
+
+
+def weighted_sample_k(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of k rows
+    (Efraimidis & Spirakis 2006 one-pass weighted reservoir, the
+    Gumbel-top-k form): each row scores
+
+      score_i = ln(w_i) + gumbel(h_i),  gumbel = -ln(-ln(u)),
+      u = (splitmix64(id) + 0.5) / 2^64
+
+    and the k highest scores win — equivalent to sequential draws with
+    probability proportional to weight. This is the RESAMPLING half of
+    a DSIR pipeline (dsir.dsir_weights produces importance_e6; exp of
+    it is the weight). No RNG state: a pure function of the id set, so
+    order/partition-invariant and mergeable exactly like
+    bottom_k_sample — per-batch local top-k, driver folds <= k *
+    n_blocks survivors. Rows with weight <= 0 are excluded. Ties
+    (possible only for duplicate ids) break by (score desc, id asc)."""
+    from raylinkgraph.functions.hashing import splitmix64
+
+    cols = columns or [
+        c for c in ds.schema().names if c not in (id_col, weight_col)
+    ]
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(np.float64)
+        h = splitmix64(b[id_col].to_numpy(np.int64)).astype(np.uint64)
+        u = (h.astype(np.float64) + 0.5) / float(2**64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.log(w) - np.log(-np.log(u))
+        ok = w > 0
+        b, score = b[ok], score[ok]
+        if len(b) > k:
+            keep = np.argpartition(-score, k)[:k]
+            b = b.iloc[keep]
+            score = score[keep]
+        out = b[[id_col, weight_col] + cols].copy()
+        out["__s"] = score
+        return out
+
+    got = ds.map_batches(trim, batch_format="pandas").to_pandas()
+    got = (
+        got.nlargest(k, "__s", keep="all")
+        .sort_values(["__s", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return got.drop(columns="__s").reset_index(drop=True)

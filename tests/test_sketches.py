@@ -118,3 +118,50 @@ def test_heavy_hitters_string_values_and_empty(ray_session):
     assert len(got) == 0
     got = heavy_hitters(ds, "x", 8)  # threshold 31.25 -> only "hot"
     assert got["value"].tolist() == ["hot"] and got["n"].tolist() == [50]
+
+
+def test_weighted_sample_k_replay_and_invariance(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.hashing import splitmix64
+    from raylinkgraph.functions.sketches import weighted_sample_k
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3000, dtype=np.int64),
+            "w": rng.exponential(1.0, 3000),
+            "v": rng.integers(0, 100, 3000).astype(np.int64),
+        }
+    )
+    df.loc[5, "w"] = 0.0  # weight<=0 rows are excluded
+    got = weighted_sample_k(rd.from_pandas(df), "id", "w", 100)
+    # exact sequential replay of the Gumbel-top-k scores
+    h = splitmix64(df["id"].to_numpy()).astype(np.uint64)
+    u = (h.astype(np.float64) + 0.5) / float(2**64)
+    score = np.log(df["w"].to_numpy()) - np.log(-np.log(u))
+    ok = df["w"].to_numpy() > 0
+    want = df[ok].iloc[np.argsort(-score[ok], kind="stable")[:100]]
+    assert list(got["id"]) == list(want["id"])
+    assert 5 not in set(got["id"])
+    # partition invariance
+    got2 = weighted_sample_k(rd.from_pandas(df).repartition(13), "id", "w", 100)
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_weighted_sample_k_respects_weights(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import weighted_sample_k
+
+    # two strata: heavy rows get 50x weight -> dominate the sample
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "w": np.where(np.arange(n) < n // 2, 50.0, 1.0),
+        }
+    )
+    got = weighted_sample_k(rd.from_pandas(df), "id", "w", 200)
+    heavy = (got["id"] < n // 2).mean()
+    assert heavy > 0.9, heavy
