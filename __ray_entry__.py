@@ -1962,6 +1962,24 @@ def q_media_features(sf_dir):
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_events_distinct_users_hll(sf_dir):
+    """Grouped HLL: approximate distinct users per event_type, one
+    mergeable 2^12-register sketch per group — the fixed-exchange
+    answer to per-segment COUNT(DISTINCT) at corpus scale. Rows-only
+    (HLL is not SQL-expressible); <5%-error + partition-invariance
+    pinned by pytest. functions/sketches.approx_distinct_by."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import approx_distinct_by
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    out = approx_distinct_by(ev, "event_type", "user_id").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_media_phash_pairs(sf_dir):
     """Visual near-dup pairs over REAL PPM payloads: exact-dup docs (the
     documents table plants text duplicates) render to byte-identical
@@ -3727,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video": q_media_video,
         "media_phash_pairs": q_media_phash_pairs,
         "doc_importance_sample": q_doc_importance_sample,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

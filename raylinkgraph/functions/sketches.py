@@ -320,3 +320,85 @@ def weighted_sample_k(
         .head(k)
     )
     return got.drop(columns="__s").reset_index(drop=True)
+
+
+def approx_distinct_by(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    *,
+    p: int = 12,
+    buckets: int = 32,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Grouped approximate COUNT(DISTINCT col) -> (group, approx_distinct):
+    one HLL sketch per group key, the 100TB shape for per-segment
+    cardinality (distinct users per event type, distinct urls per host):
+    each batch emits per-(group, register) partial maxima (<= 2^p rows
+    per group seen), groups hash to fixed buckets (any_key_partition —
+    a group's registers all land in ONE bucket), and the in-bucket fold
+    is fully vectorized: lexsort segment-max to final registers, then
+    bincount folds to per-group estimates. Deterministic; standard
+    error ~1.04 / sqrt(2^p) per group."""
+    from raylinkgraph.functions.hashing import any_key_partition
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = _hll_alpha(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col)
+        is_str = pa.types.is_string(vals.type) or pa.types.is_large_string(
+            vals.type
+        )
+        h = _hash_column(vals, is_str)
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, np.int64)
+        x = rest[nz]
+        n = np.zeros(x.shape, np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            n[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        lz[nz] = n
+        rank = np.minimum(lz, 64 - p) + 1
+        gv = batch.column(group_col).to_pandas()
+        out = pd.DataFrame({"g": gv, "register": reg, "rank": rank})
+        out = out.groupby(["g", "register"], as_index=False, sort=False)[
+            "rank"
+        ].max()
+        out["__p"] = any_key_partition(out["g"].to_numpy(), buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        codes_g, uniq_g = pd.factorize(g["g"], sort=True)
+        reg = g["register"].to_numpy(np.int64)
+        rank = g["rank"].to_numpy(np.int64)
+        # segment max over (group, register)
+        order = np.lexsort((-rank, reg, codes_g))
+        cg, rg, rk = codes_g[order], reg[order], rank[order]
+        first = np.r_[True, (cg[1:] != cg[:-1]) | (rg[1:] != rg[:-1])] \
+            if len(cg) else np.array([], bool)
+        cg, rk = cg[first], rk[first]
+        sum2 = np.bincount(cg, weights=np.power(2.0, -rk.astype(np.float64)),
+                           minlength=len(uniq_g))
+        cnt = np.bincount(cg, minlength=len(uniq_g)).astype(np.int64)
+        raw = alpha * m * m / (sum2 + (m - cnt))  # untouched regs add 2^0
+        zeros = (m - cnt).astype(np.float64)
+        lin = np.where(zeros > 0, m * np.log(np.maximum(m / np.maximum(zeros, 1e-300), 1.0)), raw)
+        est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+        return pd.DataFrame(
+            {
+                group_col: uniq_g,
+                "approx_distinct": np.floor(est + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__p")
+        .map_groups(fold, batch_format="pandas")
+    )

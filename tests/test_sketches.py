@@ -165,3 +165,32 @@ def test_weighted_sample_k_respects_weights(ray_session):
     got = weighted_sample_k(rd.from_pandas(df), "id", "w", 200)
     heavy = (got["id"] < n // 2).mean()
     assert heavy > 0.9, heavy
+
+
+def test_approx_distinct_by_accuracy_and_invariance(ray_session):
+    import ray.data as rd
+
+    from raylinkgraph.functions.sketches import approx_distinct_by
+
+    rng = np.random.default_rng(4)
+    n = 60000
+    grp = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # per-group distinct ranges differ by an order of magnitude
+    val = np.where(
+        grp == "a", rng.integers(0, 200, n),
+        np.where(grp == "b", rng.integers(0, 5000, n), rng.integers(0, 40000, n)),
+    ).astype(np.int64)
+    df = pd.DataFrame({"g": grp, "v": val})
+    exact = df.groupby("g")["v"].nunique()
+    got = (
+        approx_distinct_by(rd.from_pandas(df), "g", "v", p=12)
+        .to_pandas().set_index("g")["approx_distinct"]
+    )
+    for k in exact.index:
+        rel = abs(got[k] - exact[k]) / exact[k]
+        assert rel < 0.05, (k, got[k], exact[k])
+    got2 = (
+        approx_distinct_by(rd.from_pandas(df).repartition(9), "g", "v", p=12)
+        .to_pandas().set_index("g")["approx_distinct"]
+    )
+    assert got.sort_index().equals(got2.sort_index())
