@@ -3463,6 +3463,59 @@ def q_events_value_stats(sf_dir):
     ).astype({"n": np.int64, "sum_cents": np.int64, "mean_e6": np.int64, "var_e6": np.int64})
 
 
+def q_rel_price_qty_corr(sf_dir):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    from EXACT integer bivariate moments: per-batch (n, Σq, Σp, Σqp,
+    Σq², Σp²) partials (one tiny row per group per batch), driver fold
+    in unbounded Python ints, correlation assembled with the identical
+    IEEE double expression the HUGEINT SQL oracle uses — bit-exact at
+    any partitioning, one streaming pass, nothing shuffled."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        p = np.floor(
+            b["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pd.DataFrame(
+            {
+                "f": b["l_returnflag"],
+                "n": 1, "q": q, "p": p,
+                "qp": q * p, "q2": q * q, "p2": p * p,
+            }
+        )
+        return (
+            t.groupby("f", sort=False)[["n", "q", "p", "qp", "q2", "p2"]]
+            .sum().reset_index()
+        )
+
+    # batch_size caps per-batch int64 partial magnitude (4096 rows x
+    # ~1e14 per p² term stays well under 2^63); the cross-batch fold
+    # below is unbounded Python ints
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    rows = []
+    for f, g in parts.groupby("f", sort=True):
+        n = int(g["n"].sum()); sq = int(g["q"].sum()); sp = int(g["p"].sum())
+        sqp = int(g["qp"].sum()); sq2 = int(g["q2"].sum()); sp2 = int(g["p2"].sum())
+        num = n * sqp - sq * sp
+        d1 = n * sq2 - sq * sq
+        d2 = n * sp2 - sp * sp
+        # identical double expression to the SQL: each exact integer is
+        # cast to double FIRST, then multiplied/divided (IEEE-rounded)
+        r = float(num) / np.sqrt(float(d1) * float(d2))
+        rows.append((f, n, int(np.floor(r * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_e6"]).astype(
+        {"n": np.int64, "corr_e6": np.int64}
+    )
+
+
 def q_graph_scan_sim(sf_dir):
     """SCAN structural similarity per pp-graph edge (closed
     neighborhoods; Xu et al. KDD 2007) — per-edge triangle support via
@@ -3746,6 +3799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": q_media_phash_pairs,
         "doc_importance_sample": q_doc_importance_sample,
         "events_distinct_users_hll": q_events_distinct_users_hll,
+        "rel_price_qty_corr": q_rel_price_qty_corr,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
@@ -6111,6 +6165,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "rel_price_qty_corr": (
+            "WITH t AS (SELECT l_returnflag AS f, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p "
+            "FROM lineitem), "
+            "m AS (SELECT f, COUNT(*) AS n, SUM(q) AS sq, SUM(p) AS sp, "
+            "SUM(q * p) AS sqp, SUM(q * q) AS sq2, SUM(p * p) AS sp2 "
+            "FROM t GROUP BY f) "
+            "SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(floor(CAST(n * sqp - sq * sp AS DOUBLE) / "
+            "sqrt(CAST(n * sq2 - sq * sq AS DOUBLE) * "
+            "CAST(n * sp2 - sp * sp AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) "
+            "AS corr_e6 FROM m ORDER BY l_returnflag"
         ),
         "doc_word_entropy": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
