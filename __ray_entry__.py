@@ -3463,6 +3463,50 @@ def q_events_value_stats(sf_dir):
     ).astype({"n": np.int64, "sum_cents": np.int64, "mean_e6": np.int64, "var_e6": np.int64})
 
 
+def q_doc_lang_source_chi2(sf_dir):
+    """Pearson chi-square test of independence for the (lang, source)
+    contingency table — the standard corpus-balance diagnostic. Counts
+    fold as per-batch integer partials (bounded key space); the test
+    statistic is an order-free INTEGER sum of per-cell contributions
+    floor(((n_ij - e_ij)^2 / e_ij) * 1e6 + 0.5), each cell computed
+    with the identical IEEE double expression the SQL oracle uses."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["lang", "source"], sort=False)
+            .size().rename("c").reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = parts.groupby(["lang", "source"], sort=True)["c"].sum()
+    row = cells.groupby("lang").sum()
+    col = cells.groupby("source").sum()
+    n = int(cells.sum())
+    # full grid INCLUDING zero-count combinations (they contribute e_ij)
+    grid = cells.reindex(
+        pd.MultiIndex.from_product([row.index, col.index]), fill_value=0
+    )
+    chi2 = 0
+    for (lg, src), c in grid.items():
+        e = float(int(row[lg])) * float(int(col[src])) / float(n)
+        contrib = (float(int(c)) - e) ** 2 / e
+        chi2 += int(np.floor(contrib * 1e6 + 0.5))
+    dof = (row.size - 1) * (col.size - 1)
+    return pd.DataFrame(
+        {
+            "n": np.array([n], np.int64),
+            "n_cells": np.array([len(grid)], np.int64),
+            "dof": np.array([dof], np.int64),
+            "chi2_e6": np.array([chi2], np.int64),
+        }
+    )
+
+
 def q_rel_price_qty_corr(sf_dir):
     """Per-returnflag Pearson correlation of quantity vs extended price
     from EXACT integer bivariate moments: per-batch (n, Σq, Σp, Σqp,
@@ -3800,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_importance_sample": q_doc_importance_sample,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "rel_price_qty_corr": q_rel_price_qty_corr,
+        "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
@@ -6165,6 +6210,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "doc_lang_source_chi2": (
+            "WITH c AS (SELECT lang, source, COUNT(*) AS nij "
+            "FROM documents GROUP BY lang, source), "
+            "r AS (SELECT lang, SUM(nij) AS ri FROM c GROUP BY lang), "
+            "k AS (SELECT source, SUM(nij) AS cj FROM c GROUP BY source), "
+            "t AS (SELECT SUM(nij) AS n FROM c), "
+            "grid AS (SELECT r.lang, k.source, r.ri, k.cj, "
+            "COALESCE(c.nij, 0) AS nij FROM r CROSS JOIN k "
+            "LEFT JOIN c ON c.lang = r.lang AND c.source = k.source), "
+            "cells AS (SELECT CAST(floor(" 
+            "pow(CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE), 2) "
+            "/ (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* 1000000 + 0.5) AS BIGINT) AS q FROM grid CROSS JOIN t), "
+            "nr AS (SELECT COUNT(*) AS a FROM r), nk AS (SELECT COUNT(*) AS b FROM k) "
+            "SELECT CAST(t.n AS BIGINT) AS n, "
+            "CAST(nr.a * nk.b AS BIGINT) AS n_cells, "
+            "CAST((nr.a - 1) * (nk.b - 1) AS BIGINT) AS dof, "
+            "(SELECT CAST(SUM(q) AS BIGINT) FROM cells) AS chi2_e6 "
+            "FROM t CROSS JOIN nr CROSS JOIN nk"
         ),
         "rel_price_qty_corr": (
             "WITH t AS (SELECT l_returnflag AS f, "
