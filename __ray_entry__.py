@@ -3335,6 +3335,31 @@ def q_pages_host_graph(sf_dir):
     )
 
 
+def q_pages_host_rank(sf_dir):
+    """Host-level weighted PageRank of the flagship pages graph — the
+    Common-Crawl host-centrality product: contract pages to hosts (the
+    oracle-pinned host_graph), row-normalize the multiplicity weights,
+    run WeightedPageRank on the contracted graph. Rows-only for the
+    driver; pinned vs a dense weighted power iteration by pytest
+    (tests/test_funnel_quotient.py::test_host_rank_matches_weighted_power_iteration)."""
+    from raylinkgraph.pipelines.linkgraph import (
+        build_linkgraph_from_pages,
+        host_rank,
+    )
+    from raylinkgraph.sources.pages import generate_pages_parquet
+
+    root = "/tmp/raylinkgraph_entry"
+    pages = os.path.join(root, "pages")
+    generate_pages_parquet(pages, 2000, seed=42)
+    graph, vmap = build_linkgraph_from_pages(
+        pages, os.path.join(root, "pipe-hostrank"), P=16,
+        extract_concurrency=(1, 8),
+    )
+    out = host_rank(graph, vmap, os.path.join(root, "work-hostrank"), P=8)
+    out["rank_e6"] = _rank_e6(out["rank"].to_numpy())
+    return out[["host", "rank_e6"]].sort_values("host").reset_index(drop=True)
+
+
 HH_K = 150
 
 
@@ -3845,6 +3870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "rel_price_qty_corr": q_rel_price_qty_corr,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
+        "pages_host_rank": q_pages_host_rank,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

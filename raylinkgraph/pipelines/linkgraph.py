@@ -127,3 +127,105 @@ def host_graph(
 
     hosts = vmap.map_batches(to_host, batch_format="pyarrow")
     return quotient_graph(graph.edges_ds(), hosts, hosts, buckets=buckets)
+
+
+def host_rank(
+    graph: LinkGraph,
+    vmap: rd.Dataset,
+    workdir: str,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_rounds: int = 50,
+    buckets: int = 64,
+    P: int = 8,
+) -> "pd.DataFrame":
+    """Host-level weighted PageRank — the Common-Crawl host-centrality
+    product (the same statistic the CC project publishes as its host
+    ranks): contract the page graph to hosts (host_graph), keep the
+    page-edge multiplicity as the edge weight, row-normalize into
+    transition weights t(u,v) = w(u,v)/Σ_x w(u,x) with one bucketed
+    groupby on hash(src), build the (much smaller) host LinkGraph with
+    the weights attached, and run the same WeightedPageRank superstep
+    the page-level rank uses -> (host, rank).
+
+    Every exchange is bucketed (quotient contraction, gid joins via
+    hash_join's broadcast-or-partitioned paths, one normalization
+    groupby); nothing O(pages) reaches the driver — only O(hosts)
+    artifacts do, which is the point of contracting first."""
+    import numpy as np
+    import pandas as pd
+
+    from raylinkgraph.algos.pagerank import WeightedPageRank
+    from raylinkgraph.functions.hashing import partition_of
+    from raylinkgraph.functions.joins import hash_join
+    from raylinkgraph.stages.vertex_map import build_vertex_map as _bvm
+
+    hg = host_graph(graph, vmap, buckets=buckets)
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_url": batch.column("src_grp"),
+                "dst_url": batch.column("dst_grp"),
+                "weight": batch.column("n_edges").cast(pa.float64()),
+            }
+        )
+
+    pairs = hg.map_batches(as_pairs, batch_format="pyarrow").materialize()
+    hmap = _bvm(pairs, vmap_partitions=buckets).materialize()
+
+    withs = hash_join(pairs, hmap, on="src_url", right_on="url")
+    withd = hash_join(withs, hmap, on="dst_url", right_on="url", rsuffix="_d")
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "src_id": b.column("gid"),
+                "dst_id": b.column("gid_d"),
+                "weight": b.column("weight"),
+            }
+        )
+        # LinkGraph.build drops self-loops; exclude them BEFORE the
+        # transition normalization or their weight share leaks rank mass
+        # (host graphs are self-loop-heavy: intra-host page links)
+        return t.filter(pc.invert(pc.equal(t.column("src_id"), t.column("dst_id"))))
+
+    edges = withd.map_batches(to_ids, batch_format="pyarrow")
+
+    # row-normalize: src's edges co-group in one bucketed exchange
+    def nbkt(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "nbkt", pa.array(partition_of(src, buckets), pa.int32())
+        )
+
+    def normalize(g: "pd.DataFrame") -> "pd.DataFrame":
+        sw = g.groupby("src_id")["weight"].transform("sum")
+        out = g[["src_id", "dst_id"]].copy()
+        out["weight"] = g["weight"].to_numpy() / sw.to_numpy()
+        return out
+
+    tedges = (
+        edges.map_batches(nbkt, batch_format="pyarrow")
+        .groupby("nbkt")
+        .map_groups(normalize, batch_format="pandas")
+    )
+
+    hgraph = LinkGraph.build(
+        tedges, os.path.join(workdir, "host-graph"), P=P, weight_col="weight"
+    )
+    res = run_bsp(
+        hgraph,
+        WeightedPageRank(
+            hgraph.n_vertices, alpha=alpha, tol=tol, max_rounds=max_rounds
+        ),
+        os.path.join(workdir, "host-wpr"),
+        max_rounds=max_rounds,
+    )
+    ranks = res.state_pandas()[["oid", "rank"]]
+    hm = hmap.to_pandas()  # O(hosts), bounded by construction
+    out = ranks.merge(hm.rename(columns={"gid": "oid", "url": "host"}), on="oid")
+    return out[["host", "rank"]].sort_values("host").reset_index(drop=True)

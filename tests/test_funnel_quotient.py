@@ -338,3 +338,52 @@ def test_retention_cohorts_brute_force(ray_session):
         .reset_index(drop=True)
     )
     assert got.astype(np.int64).equals(bf.astype(np.int64))
+
+
+def test_host_rank_matches_weighted_power_iteration(ray_session, tmp_root):
+    """host_rank (contract -> normalize -> WeightedPageRank) must match a
+    dense weighted power iteration (networkx pagerank(weight=) semantics)
+    on the ground-truth host multigraph."""
+    from raylinkgraph.pipelines.linkgraph import (
+        build_linkgraph_from_pages,
+        host_rank,
+    )
+    from raylinkgraph.schema import PageGen
+    from raylinkgraph.sources.pages import generate_pages_parquet
+
+    n = 300
+    pages = os.path.join(tmp_root, "hr-pages")
+    generate_pages_parquet(pages, n, seed=7)
+    graph, vmap = build_linkgraph_from_pages(
+        pages, os.path.join(tmp_root, "hr-pipe"), P=4,
+        extract_concurrency=(1, 2), write_text_table=False,
+    )
+    got = host_rank(graph, vmap, os.path.join(tmp_root, "hr-work"), P=4)
+
+    def host(url):
+        return url.split("/")[2]
+
+    w = {}
+    for s, d in set(PageGen(n, 7).true_edge_pairs()):  # distinct page edges
+        key = (host(s), host(d))
+        w[key] = w.get(key, 0) + 1
+    hosts = sorted({h for k in w for h in k})
+    idx = {h: i for i, h in enumerate(hosts)}
+    m = len(hosts)
+    W = np.zeros((m, m))
+    for (s, d), c in w.items():
+        if s != d:  # host_rank excludes self-loops (LinkGraph convention)
+            W[idx[s], idx[d]] = c
+    outw = W.sum(axis=1)
+    T = np.divide(W, outw[:, None], out=np.zeros_like(W), where=outw[:, None] > 0)
+    alpha, x = 0.85, np.full(m, 1.0 / m)
+    for _ in range(500):
+        xlast = x
+        dangling = x[outw == 0].sum()
+        x = alpha * (x @ T + dangling / m) + (1 - alpha) / m
+        if np.abs(x - xlast).sum() < m * 1e-14:
+            break
+    got_map = dict(zip(got["host"], got["rank"]))
+    assert set(got_map) == set(hosts)
+    for h in hosts:
+        assert abs(got_map[h] - x[idx[h]]) < 1e-8, (h, got_map[h], x[idx[h]])
