@@ -3335,6 +3335,22 @@ def q_pages_host_graph(sf_dir):
     )
 
 
+def q_events_type_transitions(sf_dir):
+    """First-order Markov transition counts of per-user event-type
+    sequences (ordered by ts with event_id tiebreak) — exact integer
+    counts vs the DuckDB LAG-window oracle.
+    functions/windows.type_transitions."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.windows import type_transitions
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return type_transitions(ev).reset_index(drop=True)
+
+
 def q_pages_host_rank(sf_dir):
     """Host-level weighted PageRank of the flagship pages graph — the
     Common-Crawl host-centrality product: contract pages to hosts (the
@@ -3871,6 +3887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_qty_corr": q_rel_price_qty_corr,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
+        "events_type_transitions": q_events_type_transitions,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
@@ -6236,6 +6253,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "events_type_transitions": (
+            "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) "
+            "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM o WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type ORDER BY prev_type, event_type"
         ),
         "doc_lang_source_chi2": (
             "WITH c AS (SELECT lang, source, COUNT(*) AS nij "

@@ -423,3 +423,66 @@ def retention_cohorts(
         .groupby("__b")
         .map_groups(fold_counts, batch_format="pandas")
     )
+
+
+def type_transitions(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    buckets: int = 64,
+) -> pd.DataFrame:
+    """First-order Markov transition counts of the per-user event-type
+    sequence -> (prev_type, event_type, n): the bigram model of event
+    streams (sessionized behavior modeling, next-event prediction
+    features). One bucketed shuffle on hash(user); inside each bucket a
+    single lexsort + shifted-pair segment scan (no per-user loop) emits
+    partial counts over the BOUNDED type-pair key space, folded on the
+    driver (<= |types|^2 * buckets tiny rows). Ordering is (ts, id) so
+    ties are deterministic; exact integer counts — the DuckDB LAG
+    oracle matches bit-for-bit."""
+    from raylinkgraph.functions.hashing import partition_of
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch[user_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "uid": uid,
+                "ts_us": (batch[ts_col] - pd.Timestamp(0))
+                // pd.Timedelta(microseconds=1),
+                "eid": batch[id_col].to_numpy(np.int64),
+                "et": batch[type_col],
+                "__b": partition_of(uid, buckets),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["uid"].to_numpy(np.int64)
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["ts_us"].to_numpy(np.int64), uid)
+        )
+        uid = uid[order]
+        et = g["et"].to_numpy(dtype=object)[order]
+        within = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][within], "event_type": et[1:][within]}
+        )
+        return (
+            pairs.groupby(["prev_type", "event_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    parts = (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["prev_type", "event_type"], sort=True)["n"]
+        .sum().reset_index()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
