@@ -55,7 +55,10 @@ def _probe_ncol(path: str, delim: str, filesystem=None) -> int:
     if info.type == pafs.FileType.Directory:
         shards = sorted(
             f.path for f in fsys.get_file_info(pafs.FileSelector(fpath))
-            if f.path.lower().endswith((".csv", ".tsv", ".txt"))
+            if f.path.lower().endswith(
+                (".csv", ".tsv", ".txt",
+                 ".csv.gz", ".tsv.gz", ".txt.gz")
+            )
         )
         if not shards:
             raise FileNotFoundError(f"no CSV shards under {path}")
@@ -79,6 +82,14 @@ def load_table(
     files."""
     path, opts = parse_location(uri)
     lower = path.lower()
+    # compressed shards: route by the inner extension (data.csv.gz ->
+    # csv). pyarrow's open_input_stream and Ray's readers both
+    # auto-detect the codec from the outer suffix, so only format
+    # detection needs the strip.
+    for comp in (".gz", ".bz2", ".zst", ".lz4"):
+        if lower.endswith(comp):
+            lower = lower[: -len(comp)]
+            break
     # explicit `#format=` wins over the extension (reference Loader also
     # accepts an explicit format, framework/loader.py:94-211) — how
     # extension-less graph files (.v/.e) route into the CSV reader

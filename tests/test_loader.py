@@ -71,3 +71,26 @@ def test_json_and_parquet(ray_session, tmp_root):
         f.write('{"a": 1}\n{"a": 2}\n')
     dj = load_table(j).to_pandas()
     assert dj["a"].tolist() == [1, 2]
+
+
+def test_load_table_gzip_csv(ray_session, tmp_path):
+    """Compressed CSV shards route by inner extension; codec is
+    auto-detected (pyarrow/Ray), including the headerless probe."""
+    import gzip
+
+    from raylinkgraph.sources.loader import load_table
+
+    p = tmp_path / "rows.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("k,v\n1,a\n2,b\n3,c\n")
+    got = load_table(str(p)).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 3] and list(got["v"]) == ["a", "b", "c"]
+    # headerless variant exercises _probe_ncol through the gzip stream
+    q = tmp_path / "noheader.csv.gz"
+    with gzip.open(q, "wt") as f:
+        f.write("1,a\n2,b\n")
+    got2 = (
+        load_table(str(q) + "#header_row=false")
+        .to_pandas().sort_values("f0").reset_index(drop=True)
+    )
+    assert list(got2.columns) == ["f0", "f1"] and list(got2["f1"]) == ["a", "b"]
