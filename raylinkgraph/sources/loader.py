@@ -125,3 +125,70 @@ def load_table(
         )
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported location: {uri}")
+
+
+def edges_from_pandas(
+    df, src_col: str = "src_id", dst_col: str = "dst_id",
+    weight_col: str | None = None,
+) -> rd.Dataset:
+    """Edge Dataset from an in-memory pandas DataFrame (the reference
+    Loader accepts DataFrames directly, framework/loader.py:94-211) ->
+    columns (src_id, dst_id[, weight]) ready for LinkGraph.build."""
+    import numpy as np
+    import pandas as pd
+
+    cols = {
+        "src_id": df[src_col].to_numpy(np.int64),
+        "dst_id": df[dst_col].to_numpy(np.int64),
+    }
+    if weight_col is not None:
+        cols["weight"] = df[weight_col].to_numpy(np.float64)
+    return rd.from_pandas(pd.DataFrame(cols))
+
+
+def edges_from_coo(src, dst, weight=None) -> rd.Dataset:
+    """Edge Dataset from parallel numpy COO arrays (reference Loader's
+    numpy input form)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = {
+        "src_id": np.asarray(src, np.int64),
+        "dst_id": np.asarray(dst, np.int64),
+    }
+    if weight is not None:
+        cols["weight"] = np.asarray(weight, np.float64)
+    return rd.from_pandas(pd.DataFrame(cols))
+
+
+def edges_from_csr(indptr, indices, weight=None) -> rd.Dataset:
+    """Edge Dataset from CSR arrays (indptr of length n+1, indices of
+    length nnz): row i owns indices[indptr[i]:indptr[i+1]] — the
+    reference Loader's scipy-CSR input form, without needing scipy."""
+    import numpy as np
+
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int64)
+    deg = np.diff(indptr)
+    src = np.repeat(np.arange(len(deg), dtype=np.int64), deg)
+    return edges_from_coo(src, indices, weight)
+
+
+def write_table(ds: rd.Dataset, uri: str, *, filesystem=None) -> None:
+    """Extension-routed result sink (the reference's `.output(fd)` /
+    to_data_sink surface, context.py:137-288 dag_utils.py:883-957):
+    .parquet -> write_parquet, .csv -> write_csv, .json/.jsonl ->
+    write_json; any pyarrow.fs filesystem (local/oss/hdfs/s3) flows
+    through, same as the loader side. The uri names a DIRECTORY of
+    shards (Ray's resumable partitioned layout), never one giant file."""
+    path, opts = parse_location(uri)
+    lower = path.lower()
+    fmt = opts.get("format", "").strip().lower()
+    if fmt == "parquet" or (not fmt and (lower.endswith(".parquet") or lower.endswith(".pq"))):
+        ds.write_parquet(path, filesystem=filesystem)
+    elif fmt == "csv" or (not fmt and lower.endswith(".csv")):
+        ds.write_csv(path, filesystem=filesystem)
+    elif fmt == "json" or (not fmt and (lower.endswith(".json") or lower.endswith(".jsonl"))):
+        ds.write_json(path, filesystem=filesystem)
+    else:
+        raise ValueError(f"write_table: cannot infer format from {uri!r}")

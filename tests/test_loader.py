@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from raylinkgraph.sources.loader import load_table, parse_location
 
@@ -94,3 +95,49 @@ def test_load_table_gzip_csv(ray_session, tmp_path):
         .to_pandas().sort_values("f0").reset_index(drop=True)
     )
     assert list(got2.columns) == ["f0", "f1"] and list(got2["f1"]) == ["a", "b"]
+
+
+def test_edges_from_pandas_coo_csr_agree(ray_session, tmp_path):
+    """The three in-memory edge-input forms (reference Loader parity:
+    DataFrame / numpy COO / CSR) produce identical graphs."""
+    import pandas as pd
+
+    from raylinkgraph.sources.loader import (
+        edges_from_coo, edges_from_csr, edges_from_pandas,
+    )
+    from raylinkgraph.stages.graph_build import LinkGraph
+
+    df = pd.DataFrame({"src_id": [0, 0, 1, 2, 3], "dst_id": [1, 2, 2, 3, 0]})
+    indptr = np.array([0, 2, 3, 4, 5])
+    indices = np.array([1, 2, 2, 3, 0])
+    forms = {
+        "pandas": edges_from_pandas(df),
+        "coo": edges_from_coo(df["src_id"].to_numpy(), df["dst_id"].to_numpy()),
+        "csr": edges_from_csr(indptr, indices),
+    }
+    frames = {
+        k: v.to_pandas().sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+        for k, v in forms.items()
+    }
+    pd.testing.assert_frame_equal(frames["pandas"], frames["coo"])
+    pd.testing.assert_frame_equal(frames["pandas"], frames["csr"])
+    g = LinkGraph.build(forms["csr"], str(tmp_path / "g-csr"), P=2)
+    assert g.n_vertices == 4 and g.n_edges == 5
+
+
+def test_write_table_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from raylinkgraph.sources.loader import load_table, write_table
+
+    df = pd.DataFrame({"k": np.arange(5, dtype=np.int64), "v": list("abcde")})
+    for name in ("out.parquet", "out.csv", "out.json"):
+        dest = str(tmp_path / name)
+        write_table(rd.from_pandas(df), dest)
+        back = (
+            load_table(dest).to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(back[["k", "v"]], df, check_dtype=False)
+    with pytest.raises(ValueError):
+        write_table(rd.from_pandas(df), str(tmp_path / "out.xyz"))
