@@ -255,14 +255,18 @@ def _filter_join(
         if pa.types.is_integer(lschema.field(c).type)
     }
 
-    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+    def filter_group(g: pd.DataFrame) -> pa.Table:
         rk = g.loc[g["is_right"], on].unique()
         l = g[~g["is_right"]]
         m = l[on].isin(rk)
         out = l.loc[m if keep_present else ~m, left_cols].copy()
         for c, dt in int_restore.items():
             out[c] = out[c].astype(dt)
-        return out
+        # emit Arrow with the left schema pinned: empty pandas frames
+        # with object columns trip Ray's block size estimation
+        return pa.Table.from_pandas(
+            out, schema=lschema, preserve_index=False
+        )
 
     tl = left.map_batches(tag_left, batch_format="pyarrow")
     tr = rkeys_ds.map_batches(tag_right, batch_format="pyarrow")
