@@ -1962,6 +1962,30 @@ def q_media_features(sf_dir):
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_emb_ivf_index(sf_dir):
+    """Persistent IVF index: build once (centroids.parquet + per-cell
+    postings via the resumable sink — killed builds resume, committed
+    cells skip), query many with filesystem-level IO pruning (only the
+    nprobe probed cells' directories are read). Rows-only; recall and
+    prune-proof pinned by pytest. functions/similarity.ivf_index_*."""
+    import shutil
+
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import (
+        ivf_index_build,
+        ivf_index_query,
+    )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = "/tmp/raylinkgraph_entry/ivf-index"
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_index_build(emb, idx, n_cells=8)
+    qdf = emb.to_pandas().sort_values("vec_id").head(10)[["vec_id", "embedding"]]
+    out = ivf_index_query(idx, qdf, k=5, nprobe=4)
+    return out.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+
+
 def q_events_distinct_users_hll(sf_dir):
     """Grouped HLL: approximate distinct users per event_type, one
     mergeable 2^12-register sketch per group — the fixed-exchange
@@ -3888,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
         "events_type_transitions": q_events_type_transitions,
+        "emb_ivf_index": q_emb_ivf_index,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

@@ -731,3 +731,178 @@ def kmeans_assign(
     return embeddings.map_batches(
         Assign, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def ivf_index_build(
+    embeddings: rd.Dataset,
+    out_dir: str,
+    *,
+    n_cells: int = 16,
+    train_sample: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> "pd.DataFrame":
+    """Persist an IVF index: build once, query many (the FAISS-style
+    IVF-flat layout as a Dataset job). Centroids (spherical k-means,
+    farthest-first init) go to ``centroids.parquet``; the corpus is
+    assigned cell ids in one actor-pool pass and lands in
+    ``postings/part=<cell>/`` via the resumable sink — a killed build
+    rerun skips committed cells, and a query later READS ONLY its
+    probed cells' directories (IO pruning, not just compute pruning).
+    Returns the build manifest (part, n_rows, skipped)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from raylinkgraph.sources.resumable import resumable_write
+
+    n_total = embeddings.count()
+    step = max(1, n_total // train_sample)
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % step == 0))
+
+    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    train = train.sort_values(id_col)
+    Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+    C = _spherical_kmeans(Xt, min(n_cells, len(Xt)), n_iter=n_iter, init="farthest")
+    os.makedirs(out_dir, exist_ok=True)
+    _pq.write_table(
+        pa.table({"cell": pa.array(np.arange(len(C), dtype=np.int64)),
+                  "centroid": pa.array(list(C.astype(np.float64)),
+                                       pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            cell = np.argmax(X @ self.C.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "cell": pa.array(cell),
+                }
+            )
+
+    assigned = embeddings.map_batches(
+        Assign, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+    # partition DIRECTLY on the cell id (bucket count = cell count) so a
+    # query's nprobe cells map 1:1 onto directories
+    return resumable_write(
+        assigned, os.path.join(out_dir, "postings"), "cell", buckets=len(C)
+    )
+
+
+def ivf_index_query(
+    index_dir: str,
+    queries: "pd.DataFrame",
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Query a persisted IVF index -> (query_id, neighbor_id, rnk):
+    load the tiny centroid table, pick each query's nprobe cells, and
+    ``read_parquet`` ONLY those cells' posting directories — at corpus
+    scale the scan is nprobe/n_cells of the data, pruned at the
+    filesystem level. Scoring streams over the pruned Dataset with the
+    query matrix broadcast once; a bounded partial-top-k folds on the
+    driver (k rows per query per block)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from raylinkgraph.functions.hashing import splitmix64  # noqa: F401 (layout doc)
+
+    cent = _pq.read_table(os.path.join(index_dir, "centroids.parquet")).to_pandas()
+    C = np.stack(cent.sort_values("cell")["centroid"].to_numpy())
+    Q = _normalize(np.stack(queries[vec_col].to_numpy()).astype(np.float64))
+    qids = queries[id_col].to_numpy(np.int64)
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    # cell -> hash bucket of the resumable layout: buckets == n_cells and
+    # the key IS the cell id, so the mapping is partition_of(cell, n)
+    from raylinkgraph.functions.hashing import partition_of
+
+    cells = np.unique(qcells.ravel())
+    parts = np.unique(partition_of(cells, len(C)))
+    paths = [
+        os.path.join(index_dir, "postings", f"part={p}", "data.parquet")
+        for p in parts
+        if os.path.exists(
+            os.path.join(index_dir, "postings", f"part={p}", "_SUCCESS")
+        )
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed postings under {index_dir}")
+    probe_set = set(int(c) for c in cells)
+    cell_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in qcells[qi]:
+            cell_q.setdefault(int(c), []).append(qi)
+    cell_q = {c: np.asarray(v, np.int64) for c, v in cell_q.items()}
+    ref = ray.put((qids, Q, cell_q, probe_set))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.cell_q, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> "pd.DataFrame":
+            cells_b = batch.column("cell").to_numpy(zero_copy_only=False)
+            keep = np.isin(cells_b, np.fromiter(self.probe, np.int64))
+            if not keep.any():
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "neighbor_id": pd.Series([], dtype=np.int64),
+                     "sim_e6": pd.Series([], dtype=np.int64)}
+                )
+            sub = batch.filter(pa.array(keep))
+            ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+            cells_s = sub.column("cell").to_numpy(zero_copy_only=False)
+            X = _normalize(_to_matrix(sub.column(vec_col)))
+            frames = []
+            for c in np.unique(cells_s):
+                qs = self.cell_q.get(int(c))
+                if qs is None:
+                    continue
+                m = cells_s == c
+                sims = X[m] @ self.Q[qs].T  # (rows_in_cell, probing_qs)
+                rows, qcols = np.nonzero(np.ones_like(sims, dtype=bool))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.qids[qs[qcols]],
+                            "neighbor_id": ids[m][rows],
+                            "sim_e6": np.floor(
+                                sims[rows, qcols] * 1e6 + 0.5
+                            ).astype(np.int64),
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            # bounded partial top-k per query inside the block
+            out = out.sort_values(
+                ["query_id", "sim_e6", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            return out.groupby("query_id", sort=False).head(k)
+
+    scored = rd.read_parquet(paths, partitioning=None).map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    ).to_pandas()
+    scored = scored.sort_values(
+        ["query_id", "sim_e6", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = scored.groupby("query_id", sort=True).head(k).copy()
+    top["rnk"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rnk", "sim_e6"]].reset_index(drop=True)

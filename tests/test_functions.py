@@ -773,3 +773,71 @@ def test_word_entropy_brute_force(ray_session):
     assert out.loc[0, "entropy_e6"] == int(np.floor(np.log(4.0) * 1e6 + 0.5))
     assert out.loc[1, "entropy_e6"] == 0
     assert out.loc[2, "entropy_e6"] == 0
+
+
+def test_ivf_index_build_query_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import (
+        ivf_index_build, ivf_index_query, knn_cosine,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    man = ivf_index_build(emb, idx, n_cells=8)
+    assert man["skipped"].sum() == 0
+    assert man["n_rows"].sum() == emb.count()
+    # rerun: every cell partition skipped (resume semantics)
+    man2 = ivf_index_build(emb, idx, n_cells=8)
+    assert int(man2["skipped"].sum()) == len(man2)
+
+    qdf = emb.to_pandas().head(10)[["vec_id", "embedding"]]
+    got = ivf_index_query(idx, qdf, k=5, nprobe=4)
+    assert set(got.columns) == {"query_id", "neighbor_id", "rnk", "sim_e6"}
+    assert (got.groupby("query_id")["rnk"].max() <= 5).all()
+    # recall vs exact brute force (self included in index results; exact
+    # excludes self -> compare against exact top-5 plus self allowance)
+    exact = knn_cosine(emb, qdf["vec_id"].tolist(), k=5)
+    hits = tot = 0
+    for q in qdf["vec_id"]:
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        g = set(got.loc[got.query_id == q, "neighbor_id"]) - {q}
+        tot += len(e)
+        hits += len(e & g)
+    assert hits / tot > 0.5, hits / tot
+
+
+def test_ivf_index_query_prunes_reads(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import ivf_index_build, ivf_index_query
+
+    SF = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf2")
+    ivf_index_build(emb, idx, n_cells=8)
+    qdf = emb.to_pandas().head(2)[["vec_id", "embedding"]]
+    # nprobe=1: at most 2 cells -> at most 2 posting dirs read; verify by
+    # deleting every other partition's data file — query must still work
+    got = ivf_index_query(idx, qdf, k=3, nprobe=1)
+    assert len(got) > 0
+    probed = set()
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from raylinkgraph.functions.hashing import partition_of
+    cent = pq.read_table(os.path.join(idx, "centroids.parquet")).to_pandas()
+    C = np.stack(cent.sort_values("cell")["centroid"].to_numpy())
+    from raylinkgraph.functions.similarity import _normalize
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    cells = np.argmax(Q @ C.T, axis=1)
+    probed = set(int(p) for p in partition_of(cells.astype(np.int64), len(C)))
+    for d in os.listdir(os.path.join(idx, "postings")):
+        p = int(d.split("=")[1])
+        if p not in probed:
+            os.remove(os.path.join(idx, "postings", d, "data.parquet"))
+    got2 = ivf_index_query(idx, qdf, k=3, nprobe=1)
+    assert got.equals(got2)  # untouched partitions were never read
