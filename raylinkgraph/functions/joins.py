@@ -65,6 +65,7 @@ def hash_join(
     broadcast_limit: int = 5_000_000,
     buckets: int = 64,
     rsuffix: str = "_r",
+    prefilter: str | None = None,
 ) -> rd.Dataset:
     """Equi-join ``left`` with ``right`` on one key column.
 
@@ -75,11 +76,21 @@ def hash_join(
     Right sides of at most ``broadcast_limit`` rows are broadcast;
     larger ones go through the partitioned bucket join. Row order is
     not defined (sort downstream if needed).
+
+    ``prefilter="bloom"`` (semi/anti only, partitioned path): build a
+    mergeable Bloom bitmap over the right keys and resolve the
+    definite rows WITHOUT shuffling them — a bloom-negative left row
+    cannot match (no false negatives), so for semi it drops before the
+    exchange and for anti it routes straight to the output; only the
+    bloom-positive remainder (true matches + ~fpp false positives)
+    pays the exact partitioned join. At a 1% fpp this cuts the
+    exchange to ~|matches| + 1% of the left side.
     """
     if how in ("semi", "anti"):
         return _filter_join(
             left, right, on, right_on or on, how,
             broadcast_limit=broadcast_limit, buckets=buckets,
+            prefilter=prefilter,
         )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -195,6 +206,7 @@ def _filter_join(
     *,
     broadcast_limit: int,
     buckets: int,
+    prefilter: str | None = None,
 ) -> rd.Dataset:
     """semi / anti join: keep left rows by key membership in right.
 
@@ -209,6 +221,42 @@ def _filter_join(
         lambda b: b.select([right_on]).group_by([right_on]).aggregate([]),
         batch_format="pyarrow",
     )
+
+    if prefilter == "bloom" and right.count() > broadcast_limit:
+        from raylinkgraph.functions.sketches import bloom_build, bloom_contains
+
+        bits, m, k = bloom_build(rkeys_ds, right_on, fpp=0.01,
+                                 n_keys=right.count())
+        bref = ray.put(bits)
+
+        def _bloom_split(want_positive: bool):
+            class BloomSplit:
+                def __init__(self):
+                    self.bits = ray.get(bref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    keys = batch.column(on).to_numpy(zero_copy_only=False)
+                    pos = bloom_contains(self.bits, m, k, keys)
+                    return batch.filter(pa.array(pos if want_positive else ~pos))
+
+            return BloomSplit
+
+        maybe = left.map_batches(
+            _bloom_split(True), batch_format="pyarrow", concurrency=(1, 8)
+        )
+        exact = _filter_join(
+            maybe, right, on, right_on, how,
+            broadcast_limit=broadcast_limit, buckets=buckets,
+        )
+        if keep_present:
+            # bloom-negatives cannot match: the exact semi of the
+            # positives IS the answer
+            return exact
+        # anti: bloom-negatives are definite keeps and never shuffle
+        definite = left.map_batches(
+            _bloom_split(False), batch_format="pyarrow", concurrency=(1, 8)
+        )
+        return definite.union(exact)
 
     if right.count() <= broadcast_limit:
         rk = rkeys_ds.to_pandas()[right_on].unique()

@@ -402,3 +402,78 @@ def approx_distinct_by(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable bitmap sketch)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_params(n_keys: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m_bits rounded up to a power of two, k_hashes)."""
+    n = max(n_keys, 1)
+    m = int(np.ceil(-n * np.log(fpp) / (np.log(2.0) ** 2)))
+    m = 1 << max(6, int(np.ceil(np.log2(m))))
+    k = max(1, int(round(m / n * np.log(2.0))))
+    return m, min(k, 8)
+
+
+def _bloom_positions(keys, m: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing h1 + i*h2 — the
+    standard Kirsch-Mitzenmacher construction, fully vectorized.
+    Accepts int64 arrays or string arrays (crc32-widened)."""
+    from raylinkgraph.functions.hashing import crc32_str, splitmix64
+
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu":
+        base = arr.astype(np.int64)
+    else:
+        base = splitmix64(crc32_str(arr).astype(np.uint64).astype(np.int64)).astype(
+            np.int64
+        )
+    h1 = splitmix64(base)
+    h2 = splitmix64(base ^ np.int64(-0x61C8864680B583EB)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_build(
+    ds: rd.Dataset, col: str, *, fpp: float = 0.01, n_keys: int | None = None
+) -> "tuple[np.ndarray, int, int]":
+    """Build a Bloom bitmap over a key column -> (bits_u64, m, k).
+
+    Mergeable by construction: each block folds its keys into a local
+    bitmap and Ray's aggregate merges bitmaps with bitwise OR — the
+    exchange is O(m) per block pair, never O(keys). Size m targets
+    ``fpp`` at ``n_keys`` (defaults to ds.count())."""
+    from ray.data.aggregate import AggregateFn
+
+    n = int(n_keys if n_keys is not None else ds.count())
+    m, k = _bloom_params(n, fpp)
+    words = m // 64
+
+    def acc_block(state: np.ndarray, block) -> np.ndarray:
+        keys = block[col].to_numpy()
+        if len(keys):
+            pos = _bloom_positions(keys, m, k).ravel()
+            np.bitwise_or.at(
+                state, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        return state
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(words, np.uint64),
+        accumulate_block=acc_block,
+        merge=np.bitwise_or,
+        name="bloom",
+    )
+    bits = ds.aggregate(agg)["bloom"]
+    return bits, m, k
+
+
+def bloom_contains(bits: np.ndarray, m: int, k: int, keys) -> np.ndarray:
+    """Vectorized membership probe -> bool array (no false negatives)."""
+    pos = _bloom_positions(keys, m, k)
+    word = bits[pos >> 6]
+    hit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return hit.all(axis=1)

@@ -150,3 +150,45 @@ def test_filter_join_string_key(ray_session):
         .to_pandas().sort_values("v").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want_semi)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_filter_join_bloom_prefilter_exact(ray_session, how):
+    """bloom prefilter must change the exchange volume, never the
+    result: identical output to the plain partitioned path."""
+    left, right = _mk(2000, 80, seed=9)
+    plain = (
+        hash_join(
+            rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+            on="k", right_on="rk", how=how, broadcast_limit=0, buckets=4,
+        )
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    bloomed = (
+        hash_join(
+            rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+            on="k", right_on="rk", how=how, broadcast_limit=0, buckets=4,
+            prefilter="bloom",
+        )
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, bloomed)
+
+
+def test_bloom_sketch_no_false_negatives(ray_session):
+    from raylinkgraph.functions.sketches import bloom_build, bloom_contains
+
+    keys = pd.DataFrame({"k": np.arange(0, 50000, 2, dtype=np.int64)})
+    bits, m, k = bloom_build(rd.from_pandas(keys).repartition(7), "k", fpp=0.01)
+    probe = np.arange(50000, dtype=np.int64)
+    got = bloom_contains(bits, m, k, probe)
+    present = probe % 2 == 0
+    assert not (present & ~got).any()  # NO false negatives, ever
+    fp = float((got & ~present).sum() / (~present).sum())
+    assert fp < 0.03, fp
+    # string keys route through crc32 widening
+    skeys = pd.DataFrame({"s": [f"u{i}" for i in range(0, 1000, 2)]})
+    b2, m2, k2 = bloom_build(rd.from_pandas(skeys), "s", fpp=0.01)
+    probe_s = np.array([f"u{i}" for i in range(1000)], dtype=object)
+    got2 = bloom_contains(b2, m2, k2, probe_s)
+    assert got2[::2].all()
