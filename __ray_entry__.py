@@ -1962,6 +1962,54 @@ def q_media_features(sf_dir):
     return feats[["media_id", "f0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_emb_label_centroids(sf_dir):
+    """Per-label embedding centroids (class prototypes / nearest-class-
+    mean): each element int-e6-quantized BEFORE the sum so the grouped
+    vector mean is an order-free integer fold — one streaming pass over
+    per-batch (label, dim)-matrix partials, nothing shuffled. Output
+    long-form (label, dim, n, centroid_e6); bit-exact vs the DuckDB
+    unnest/generate_subscripts oracle."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        lab = b["label"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(lab)
+        d = Q.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, codes, Q)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq)),
+                "s": sums.ravel(),
+                "n": np.repeat(n, d),
+            }
+        )
+
+    parts = emb.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    agg = parts.groupby(["label", "dim"], sort=True)[["s", "n"]].sum().reset_index()
+    cent = np.floor(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64) + 0.5
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "label": agg["label"].to_numpy(np.int64),
+            "dim": agg["dim"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+            "centroid_e6": cent,
+        }
+    )
+
+
 def q_emb_ivf_index(sf_dir):
     """Persistent IVF index: build once (centroids.parquet + per-cell
     postings via the resumable sink — killed builds resume, committed
@@ -3913,6 +3961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_rank": q_pages_host_rank,
         "events_type_transitions": q_events_type_transitions,
         "emb_ivf_index": q_emb_ivf_index,
+        "emb_label_centroids": q_emb_label_centroids,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
@@ -6278,6 +6327,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lam USING (w) GROUP BY t.doc_id) "
             "SELECT doc_id, CAST(s AS BIGINT) AS importance_e6 FROM per "
             "ORDER BY doc_id"
+        ),
+        "emb_label_centroids": (
+            "WITH e AS (SELECT CAST(label AS BIGINT) AS label, "
+            "unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "a AS (SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+            "AS s, COUNT(*) AS n FROM e GROUP BY label, dim) "
+            "SELECT label, dim, CAST(n AS BIGINT) AS n, "
+            "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS centroid_e6 FROM a ORDER BY label, dim"
         ),
         "events_type_transitions": (
             "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER "
