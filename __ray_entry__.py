@@ -2010,6 +2010,57 @@ def q_emb_label_centroids(sf_dir):
     )
 
 
+def q_emb_nearest_centroid(sf_dir):
+    """Nearest-class-mean classification: score every embedding against
+    the per-label centroid table (q_emb_label_centroids, itself
+    oracle-exact) by INTEGER dot product of the e6-quantized vectors —
+    order-free, overflow-safe (|x_e6|,|c_e6| ~ 1e6, 64 dims << 2^63) —
+    and emit (vec_id, true label, predicted label, match flag). The
+    centroid table is O(labels x dims): broadcast once; one streaming
+    actor-pool pass over the corpus."""
+    import ray
+    import ray.data as rd
+
+    cents = q_emb_label_centroids(sf_dir)
+    labels = np.sort(cents["label"].unique())
+    d = int(cents["dim"].max())
+    C = np.zeros((len(labels), d), np.int64)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    C[
+        cents["label"].map(lab_pos).to_numpy(np.int64),
+        cents["dim"].to_numpy(np.int64) - 1,
+    ] = cents["centroid_e6"].to_numpy(np.int64)
+    ref = ray.put((labels.astype(np.int64), C))
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    class Classify:
+        def __init__(self):
+            self.labels, self.C = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+            scores = Q @ self.C.T  # exact int64 dot products
+            best = np.argmax(scores, axis=1)  # first max = lowest label idx
+            return pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy(np.int64),
+                    "label": b["label"].to_numpy(np.int64),
+                    "pred": self.labels[best],
+                }
+            )
+
+    out = emb.map_batches(
+        Classify, batch_format="pandas", concurrency=(1, 4), num_cpus=1
+    ).to_pandas()
+    out["match"] = (out["label"] == out["pred"]).astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_emb_ivf_index(sf_dir):
     """Persistent IVF index: build once (centroids.parquet + per-cell
     postings via the resumable sink — killed builds resume, committed
@@ -3962,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": q_events_type_transitions,
         "emb_ivf_index": q_emb_ivf_index,
         "emb_label_centroids": q_emb_label_centroids,
+        "emb_nearest_centroid": q_emb_nearest_centroid,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,
@@ -6338,6 +6390,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, dim, CAST(n AS BIGINT) AS n, "
             "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
             "AS BIGINT) AS centroid_e6 FROM a ORDER BY label, dim"
+        ),
+        "emb_nearest_centroid": (
+            "WITH ev AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+            "unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "a AS (SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+            "AS s, COUNT(*) AS n FROM ev GROUP BY label, dim), "
+            "c AS (SELECT label AS clabel, dim, "
+            "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS ce FROM a), "
+            "q AS (SELECT vec_id, label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe "
+            "FROM ev), "
+            "sc AS (SELECT q.vec_id, q.label, c.clabel, SUM(q.xe * c.ce) "
+            "AS s FROM q JOIN c USING (dim) GROUP BY q.vec_id, q.label, "
+            "c.clabel), "
+            "best AS (SELECT vec_id, label, clabel AS pred, ROW_NUMBER() "
+            "OVER (PARTITION BY vec_id ORDER BY s DESC, clabel ASC) AS rn "
+            "FROM sc) "
+            "SELECT vec_id, label, pred, CAST(CASE WHEN label = pred "
+            "THEN 1 ELSE 0 END AS BIGINT) AS \"match\" FROM best "
+            "WHERE rn = 1 ORDER BY vec_id"
         ),
         "events_type_transitions": (
             "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER "
