@@ -139,7 +139,8 @@ def test_weighted_sample_k_replay_and_invariance(ray_session):
     # exact sequential replay of the Gumbel-top-k scores
     h = splitmix64(df["id"].to_numpy()).astype(np.uint64)
     u = (h.astype(np.float64) + 0.5) / float(2**64)
-    score = np.log(df["w"].to_numpy()) - np.log(-np.log(u))
+    with np.errstate(divide="ignore"):
+        score = np.log(df["w"].to_numpy()) - np.log(-np.log(u))
     ok = df["w"].to_numpy() > 0
     want = df[ok].iloc[np.argsort(-score[ok], kind="stable")[:100]]
     assert list(got["id"]) == list(want["id"])
