@@ -6414,6 +6414,48 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS BIGINT) AS \"match\" FROM best "
             "WHERE rn = 1 ORDER BY vec_id"
         ),
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc, "
+            "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+            "AS DOUBLE) AS alpha, "
+            "regexp_extract_all(lower(text), '[a-zA-Z]+') AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, nc, alpha, "
+            "CAST(len(w) AS DOUBLE) AS nt, "
+            "CAST(len(list_filter(w, x -> x IN ('the','and','of','a','to',"
+            "'in','is','it','that','for'))) AS DOUBLE) AS ns FROM t), "
+            "q AS (SELECT doc_id, (LEAST(nc / 1000.0, 1.0) + "
+            "LEAST(CASE WHEN nt > 0 THEN (ns / nt) * 5 ELSE 0.0 END, 1.0) + "
+            "CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END) / 3.0 AS quality "
+            "FROM s) "
+            "SELECT doc_id, CAST(floor(quality * 1000000 + 0.5) AS BIGINT) "
+            "AS quality_e6 FROM q ORDER BY doc_id"
+        ),
+        "doc_langid": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS w "
+            "FROM documents), "
+            "sc AS (SELECT doc_id, "
+            "SUM(CASE WHEN w IN ('der','die','das','und','ist','ein','zu',"
+            "'mit','von','nicht') THEN 1 ELSE 0 END) AS de, "
+            "SUM(CASE WHEN w IN ('the','and','of','a','to','in','is','it',"
+            "'that','for') THEN 1 ELSE 0 END) AS en, "
+            "SUM(CASE WHEN w IN ('el','la','los','y','es','un','una','de',"
+            "'para','en') THEN 1 ELSE 0 END) AS es, "
+            "SUM(CASE WHEN w IN ('le','la','les','et','est','un','une',"
+            "'de','pour','dans') THEN 1 ELSE 0 END) AS fr "
+            "FROM toks GROUP BY doc_id), "
+            "j AS (SELECT d.doc_id, COALESCE(sc.de, 0) AS de, "
+            "COALESCE(sc.en, 0) AS en, COALESCE(sc.es, 0) AS es, "
+            "COALESCE(sc.fr, 0) AS fr FROM documents d "
+            "LEFT JOIN sc ON sc.doc_id = d.doc_id) "
+            "SELECT doc_id, CASE "
+            "WHEN greatest(de, en, es, fr) = 0 THEN 'und' "
+            "WHEN de = greatest(de, en, es, fr) THEN 'de' "
+            "WHEN en = greatest(de, en, es, fr) THEN 'en' "
+            "WHEN es = greatest(de, en, es, fr) THEN 'es' "
+            "ELSE 'fr' END AS lang_pred FROM j ORDER BY doc_id"
+        ),
         "events_type_transitions": (
             "WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
