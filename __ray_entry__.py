@@ -3671,6 +3671,89 @@ def q_doc_lang_source_chi2(sf_dir):
     )
 
 
+def q_rel_q1_pricing_summary(sf_dir):
+    """TPC-H Q1 (pricing summary report) shape: per (returnflag,
+    linestatus) — counts, sum qty, sum base price, sum discounted
+    price, sum charged — every money term quantized to integer cents
+    (or e4 for the two-factor charge) PER ROW before the sum, so all
+    aggregates are order-free integer folds, bit-exact vs SQL."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        p = np.floor(b["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5
+                     ).astype(np.int64)
+        disc = b["l_discount"].to_numpy(np.float64)
+        tax = b["l_tax"].to_numpy(np.float64)
+        dp = np.floor(p * (1.0 - disc) + 0.5).astype(np.int64)
+        ch = np.floor(p * (1.0 - disc) * (1.0 + tax) * 100.0 + 0.5
+                      ).astype(np.int64)  # e4 (cents x 100)
+        t = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "n": 1, "sum_qty": q, "sum_base_c": p,
+                "sum_disc_c": dp, "sum_charge_e4": ch,
+            }
+        )
+        return (
+            t.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum().reset_index()
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
+        .sum().reset_index()
+    )
+    for c in ("n", "sum_qty", "sum_base_c", "sum_disc_c", "sum_charge_e4"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_rel_q6_forecast_revenue(sf_dir):
+    """TPC-H Q6 (forecasting revenue change) shape: one filtered scan —
+    discount band + quantity cap — summing extendedprice*discount as
+    per-row integer e4 — an order-free integer aggregate, bit-exact vs
+    SQL; the read is column-pruned to the three columns used."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64)
+        p = b["l_extendedprice"].to_numpy(np.float64)
+        d = b["l_discount"].to_numpy(np.float64)
+        m = (d >= 0.05) & (d <= 0.07) & (q < 24)
+        rev = np.floor(p[m] * d[m] * 10000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"n": [int(m.sum())], "revenue_e4": [int(rev.sum())]}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n": np.array([int(parts["n"].sum())], np.int64),
+            "revenue_e4": np.array([int(parts["revenue_e4"].sum())], np.int64),
+        }
+    )
+
+
 def q_rel_price_qty_corr(sf_dir):
     """Per-returnflag Pearson correlation of quantity vs extended price
     from EXACT integer bivariate moments: per-batch (n, Σq, Σp, Σqp,
@@ -4008,6 +4091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_importance_sample": q_doc_importance_sample,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "rel_price_qty_corr": q_rel_price_qty_corr,
+        "rel_q1_pricing_summary": q_rel_q1_pricing_summary,
+        "rel_q6_forecast_revenue": q_rel_q6_forecast_revenue,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
         "events_type_transitions": q_events_type_transitions,
@@ -6483,6 +6568,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST((nr.a - 1) * (nk.b - 1) AS BIGINT) AS dof, "
             "(SELECT CAST(SUM(q) AS BIGINT) FROM cells) AS chi2_e6 "
             "FROM t CROSS JOIN nr CROSS JOIN nk"
+        ),
+        "rel_q1_pricing_summary": (
+            "WITH t AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p, "
+            "l_discount AS d, l_tax AS x FROM lineitem), "
+            "r AS (SELECT l_returnflag, l_linestatus, q, p, "
+            "CAST(floor(CAST(p AS DOUBLE) * (1 - d) + 0.5) AS BIGINT) AS dp, "
+            "CAST(floor(CAST(p AS DOUBLE) * (1 - d) * (1 + x) * 100 + 0.5) "
+            "AS BIGINT) AS ch FROM t) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(p) AS BIGINT) AS sum_base_c, "
+            "CAST(SUM(dp) AS BIGINT) AS sum_disc_c, "
+            "CAST(SUM(ch) AS BIGINT) AS sum_charge_e4 "
+            "FROM r GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "rel_q6_forecast_revenue": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COALESCE(SUM(CAST(floor("
+            "l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)), 0) "
+            "AS BIGINT) AS revenue_e4 FROM lineitem "
+            "WHERE l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
         ),
         "rel_price_qty_corr": (
             "WITH t AS (SELECT l_returnflag AS f, "
