@@ -2584,8 +2584,9 @@ def q_events_sliding_counts(sf_dir):
 def q_graph_ktruss(sf_dir):
     """4-truss of the pp co-order graph (algos/ktruss.py): iterative
     per-edge triangle-support peel, every shuffle hash-bucketed.
-    Rows-only by design (iterative fixpoint — no practical SQL unroll);
-    pinned against networkx.k_truss in tests/test_ktruss.py."""
+    Hash-exact vs the unrolled simultaneous-deletion SQL peel
+    (_ktruss_sql, convergence-guarded) AND pinned against
+    networkx.k_truss in tests/test_ktruss.py."""
     from raylinkgraph.algos.ktruss import k_truss
     from raylinkgraph.pipelines.tpch_graph import get_graph
 
@@ -5628,6 +5629,41 @@ def _kcore_sql(rounds: int, k: int) -> str:
     )
 
 
+def _ktruss_sql(rounds: int, k: int) -> str:
+    """Unrolled 4-truss peel: each round recomputes per-edge triangle
+    support over the surviving canonical (u < v) edge set and drops
+    edges below k-2 SIMULTANEOUSLY — the k-truss is the unique maximal
+    fixpoint, so simultaneous-deletion rounds converge to the same set
+    as the engine's bucketed peel regardless of order. Monotone
+    shrinking edge set -> equal cardinality implies equal sets, so the
+    standard _conv_guard applies (measured: 3 rounds to fixpoint at
+    sf0.01; ``rounds`` carries headroom and the guard fails LOUDLY if
+    an input ever needs more)."""
+    ctes = [f"e0 AS MATERIALIZED ({_PP_EDGES})"]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS (SELECT u AS s, v AS t FROM e{i} "
+            f"UNION ALL SELECT v, u FROM e{i})"
+        )
+        ctes.append(
+            f"sup{i} AS (SELECT e.u, e.v, COUNT(*) AS c FROM e{i} e "
+            f"JOIN d{i} d ON d.s = e.u "
+            f"JOIN e{i} e2 ON e2.u = LEAST(d.t, e.v) "
+            f"AND e2.v = GREATEST(d.t, e.v) "
+            f"WHERE d.t <> e.v GROUP BY e.u, e.v)"
+        )
+        ctes.append(
+            f"e{i+1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"LEFT JOIN sup{i} s USING (u, v) "
+            f"WHERE COALESCE(s.c, 0) >= {k - 2})"
+        )
+    ctes.append(_conv_guard("ktruss", f"e{rounds}", f"e{rounds-1}", "u", None))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u, v FROM e{rounds} WHERE {_CONV_OK} ORDER BY u, v"
+    )
+
+
 def _knn_sql(query_ids: list[int], k: int) -> str:
     qs = ",".join(str(q) for q in query_ids)
     return f"""
@@ -6069,6 +6105,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "graph_bfs": _bfs_sql(25),
         "graph_triangles": _triangles_sql(),
+        "graph_ktruss": _ktruss_sql(6, 4),
         "graph_kcore": _kcore_sql(20, KCORE_K),
         "graph_sssp": _sssp_sql(15),
         "graph_sssp_path": _sssp_path_sql(15, 20),
