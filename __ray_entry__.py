@@ -3672,6 +3672,18 @@ def q_doc_lang_source_chi2(sf_dir):
     )
 
 
+def q_doc_dup_ngram_fracs(sf_dir):
+    """Gopher A1 intra-doc duplicate 2-/3-gram occurrence fractions
+    (complements word_repetition_stats' n=1 gates and dup_ngram_mass's
+    corpus-wide 3-grams). functions/textops.gopher_dup_ngrams."""
+    from raylinkgraph.functions.textops import gopher_dup_ngrams
+
+    return (
+        gopher_dup_ngrams(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_rel_q1_pricing_summary(sf_dir):
     """TPC-H Q1 (pricing summary report) shape: per (returnflag,
     linestatus) — counts, sum qty, sum base price, sum discounted
@@ -4093,6 +4105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "rel_price_qty_corr": q_rel_price_qty_corr,
         "rel_q1_pricing_summary": q_rel_q1_pricing_summary,
+        "doc_dup_ngram_fracs": q_doc_dup_ngram_fracs,
         "rel_q6_forecast_revenue": q_rel_q6_forecast_revenue,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
@@ -6605,6 +6618,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST((nr.a - 1) * (nk.b - 1) AS BIGINT) AS dof, "
             "(SELECT CAST(SUM(q) AS BIGINT) FROM cells) AS chi2_e6 "
             "FROM t CROSS JOIN nr CROSS JOIN nk"
+        ),
+        "doc_dup_ngram_fracs": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "g2 AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], "
+            "w[2:len(w)])) AS p FROM toks WHERE len(w) >= 2), "
+            "c2 AS (SELECT doc_id, p, COUNT(*) AS c FROM g2 "
+            "GROUP BY doc_id, p), "
+            "a2 AS (SELECT doc_id, SUM(c) AS tot, "
+            "SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM c2 "
+            "GROUP BY doc_id), "
+            "g3 AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-2], "
+            "w[2:len(w)-1], w[3:len(w)])) AS p FROM toks "
+            "WHERE len(w) >= 3), "
+            "c3 AS (SELECT doc_id, p, COUNT(*) AS c FROM g3 "
+            "GROUP BY doc_id, p), "
+            "a3 AS (SELECT doc_id, SUM(c) AS tot, "
+            "SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM c3 "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(a2.tot, 0) AS BIGINT) AS n2grams, "
+            "CAST(COALESCE(CASE WHEN a2.tot > 0 THEN floor("
+            "a2.dup * 1.0 / a2.tot * 1000000 + 0.5) END, 0) AS BIGINT) "
+            "AS dup2_e6, "
+            "CAST(COALESCE(a3.tot, 0) AS BIGINT) AS n3grams, "
+            "CAST(COALESCE(CASE WHEN a3.tot > 0 THEN floor("
+            "a3.dup * 1.0 / a3.tot * 1000000 + 0.5) END, 0) AS BIGINT) "
+            "AS dup3_e6 "
+            "FROM documents d LEFT JOIN a2 ON a2.doc_id = d.doc_id "
+            "LEFT JOIN a3 ON a3.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         "rel_q1_pricing_summary": (
             "WITH t AS (SELECT l_returnflag, l_linestatus, "

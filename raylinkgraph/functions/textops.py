@@ -896,3 +896,65 @@ def word_entropy(
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def gopher_dup_ngrams(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Gopher table-A1 intra-document duplicate n-gram fractions for
+    n = 2 and 3 -> (doc_id, n2grams, dup2_e6, n3grams, dup3_e6):
+    the fraction of a doc's n-gram OCCURRENCES whose n-gram appears
+    more than once in that doc (word_repetition_stats covers n = 1).
+    Zero shuffle — per-doc local; fractions e6-quantized with one
+    exactly-rounded divide so the SQL list_zip oracle is bit-exact.
+    Word split matches string_split(text, ' ')."""
+
+    def frac_for(words: np.ndarray, doc_idx: np.ndarray, lens: np.ndarray, n: int):
+        # adjacent n-gram keys via shifted object-array tuples: join the
+        # n shifted views with a separator that cannot appear in tokens
+        m = len(words)
+        valid = np.ones(max(m - n + 1, 0), dtype=bool)
+        if m >= n:
+            for j in range(1, n):
+                valid &= doc_idx[j : m - n + 1 + j] == doc_idx[: m - n + 1]
+            keys = words[: m - n + 1].astype(object)
+            for j in range(1, n):
+                keys = keys + "\x00" + words[j : m - n + 1 + j].astype(object)
+            di = doc_idx[: m - n + 1][valid]
+            keys = keys[valid]
+        else:
+            di = np.empty(0, np.int64)
+            keys = np.empty(0, object)
+        total = np.bincount(di, minlength=len(lens)).astype(np.int64)
+        order = np.lexsort((keys, di))
+        ds_, ks_ = di[order], keys[order]
+        new = np.r_[True, (ds_[1:] != ds_[:-1]) | (ks_[1:] != ks_[:-1])] \
+            if len(ds_) else np.array([], bool)
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id).astype(np.int64) if len(ds_) else np.empty(0, np.int64)
+        # occurrences belonging to n-grams with count >= 2
+        dup_occ = np.zeros(len(lens), np.int64)
+        if len(ds_):
+            dup_runs = run_len >= 2
+            np.add.at(dup_occ, ds_[new][dup_runs], run_len[dup_runs])
+        frac = np.zeros(len(lens), np.int64)
+        nz = total > 0
+        frac[nz] = np.floor(dup_occ[nz] / total[nz] * 1e6 + 0.5).astype(np.int64)
+        return total, frac
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch[text_col].str.split(" ", regex=False)
+        lens = lists.str.len().to_numpy(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        words = np.concatenate(lists.to_numpy()) if len(lens) else np.array([], object)
+        t2, f2 = frac_for(words, doc_idx, lens, 2)
+        t3, f3 = frac_for(words, doc_idx, lens, 3)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "n2grams": t2, "dup2_e6": f2,
+                "n3grams": t3, "dup3_e6": f3,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
