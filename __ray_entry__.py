@@ -3672,6 +3672,38 @@ def q_doc_lang_source_chi2(sf_dir):
     )
 
 
+def q_events_value_winsorized(sf_dir):
+    """Winsorization (outlier clipping at exact p01/p99) — the standard
+    robust-feature preprocessing pass: bounds come from the distributed
+    exact-quantile operator (quantile_disc semantics, itself
+    oracle-exact), ship as two scalars, and one streaming map clips
+    every value; per-row e6 quantization keeps the SQL oracle
+    bit-exact."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    qs = exact_quantiles(
+        ds.select_columns(["value"]), "value", [0.01, 0.99], max_local=5000
+    )
+    lo, hi = float(qs["value"].iloc[0]), float(qs["value"].iloc[1])
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.clip(b["value"].to_numpy(np.float64), lo, hi)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "value_w_e6": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(clip, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_doc_dup_ngram_fracs(sf_dir):
     """Gopher A1 intra-doc duplicate 2-/3-gram occurrence fractions
     (complements word_repetition_stats' n=1 gates and dup_ngram_mass's
@@ -4106,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_qty_corr": q_rel_price_qty_corr,
         "rel_q1_pricing_summary": q_rel_q1_pricing_summary,
         "doc_dup_ngram_fracs": q_doc_dup_ngram_fracs,
+        "events_value_winsorized": q_events_value_winsorized,
         "rel_q6_forecast_revenue": q_rel_q6_forecast_revenue,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
@@ -6618,6 +6651,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST((nr.a - 1) * (nk.b - 1) AS BIGINT) AS dof, "
             "(SELECT CAST(SUM(q) AS BIGINT) FROM cells) AS chi2_e6 "
             "FROM t CROSS JOIN nr CROSS JOIN nk"
+        ),
+        "events_value_winsorized": (
+            "WITH b AS (SELECT quantile_disc(value, 0.01) AS lo, "
+            "quantile_disc(value, 0.99) AS hi FROM events) "
+            "SELECT event_id, CAST(floor("
+            "LEAST(GREATEST(value, b.lo), b.hi) * 1000000 + 0.5) AS BIGINT) "
+            "AS value_w_e6 FROM events CROSS JOIN b ORDER BY event_id"
         ),
         "doc_dup_ngram_fracs": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
