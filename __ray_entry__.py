@@ -3672,6 +3672,33 @@ def q_doc_lang_source_chi2(sf_dir):
     )
 
 
+def q_events_time_histogram(sf_dir):
+    """Calendar-feature histogram (ISO weekday x hour-of-day event
+    counts) — the standard time-feature sanity table: per-batch integer
+    partials over the bounded 7x24 key space, one tiny fold. Pandas
+    dt.dayofweek+1 == DuckDB isodow (Mon=1..Sun=7), asserted by the
+    hash-exact oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "isodow": (b["ts"].dt.dayofweek + 1).astype(np.int64),
+                "hour": b["ts"].dt.hour.astype(np.int64),
+            }
+        )
+        return t.groupby(["isodow", "hour"], sort=False).size().rename(
+            "n"
+        ).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["isodow", "hour"], sort=True)["n"].sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_events_value_winsorized(sf_dir):
     """Winsorization (outlier clipping at exact p01/p99) — the standard
     robust-feature preprocessing pass: bounds come from the distributed
@@ -4139,6 +4166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing_summary": q_rel_q1_pricing_summary,
         "doc_dup_ngram_fracs": q_doc_dup_ngram_fracs,
         "events_value_winsorized": q_events_value_winsorized,
+        "events_time_histogram": q_events_time_histogram,
         "rel_q6_forecast_revenue": q_rel_q6_forecast_revenue,
         "doc_lang_source_chi2": q_doc_lang_source_chi2,
         "pages_host_rank": q_pages_host_rank,
@@ -6651,6 +6679,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST((nr.a - 1) * (nk.b - 1) AS BIGINT) AS dof, "
             "(SELECT CAST(SUM(q) AS BIGINT) FROM cells) AS chi2_e6 "
             "FROM t CROSS JOIN nr CROSS JOIN nk"
+        ),
+        "events_time_histogram": (
+            "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_value_winsorized": (
             "WITH b AS (SELECT quantile_disc(value, 0.01) AS lo, "
