@@ -3475,6 +3475,26 @@ def q_events_type_transitions(sf_dir):
     return type_transitions(ev).reset_index(drop=True)
 
 
+def q_pages_titles(sf_dir):
+    """Page-title metadata extraction over the flagship pages table
+    (title as a vertex property, reference page-table convention).
+    Rows-only; PageGen ground-truth pinned by pytest
+    (tests/test_extract.py::test_page_titles_ground_truth)."""
+    import ray.data as rd
+
+    from raylinkgraph.sources.pages import generate_pages_parquet
+    from raylinkgraph.stages.extract_stage import page_titles
+
+    root = "/tmp/raylinkgraph_entry"
+    pages = os.path.join(root, "pages")
+    generate_pages_parquet(pages, 2000, seed=42)
+    out = (
+        page_titles(rd.read_parquet(pages), concurrency=(1, 8))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    return out
+
+
 def q_pages_host_rank(sf_dir):
     """Host-level weighted PageRank of the flagship pages graph — the
     Common-Crawl host-centrality product: contract pages to hosts (the
@@ -4174,6 +4194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_index": q_emb_ivf_index,
         "emb_label_centroids": q_emb_label_centroids,
         "emb_nearest_centroid": q_emb_nearest_centroid,
+        "pages_titles": q_pages_titles,
         "pages_pagerank": q_pages_pagerank,
         "rel_orders_by_status": q_rel_orders_by_status,
         "rel_top_parts": q_rel_top_parts,

@@ -242,3 +242,40 @@ def extract_anchors(html: bytes, base_url: str = "") -> list[tuple[str, str]]:
         a = _WS_RE.sub(" ", anchor).strip()
         out.append((norm, unicodedata.normalize("NFC", a)))
     return out
+
+
+class _TitleExtractor(HTMLParser):
+    """Collects the FIRST <title> element's text (entity-decoded by
+    HTMLParser with convert_charrefs, the same machinery as the pinned
+    text extractor)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.in_title = False
+        self.done = False
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title" and not self.done:
+            self.in_title = True
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self.in_title:
+            self.in_title = False
+            self.done = True
+
+    def handle_data(self, data):
+        if self.in_title:
+            self.parts.append(data)
+
+
+def extract_title(html: bytes) -> str:
+    """html bytes -> whitespace-normalized text of the first <title>
+    ('' when absent) — the page-metadata companion of extract() /
+    extract_anchors() (reference pipelines surface title as a vertex
+    property of the page table)."""
+    p = _TitleExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    t = _WS_RE.sub(" ", "".join(p.parts)).strip()
+    return unicodedata.normalize("NFC", t)

@@ -176,3 +176,41 @@ def anchor_text_counts(
         .groupby("__p")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+class ExtractTitles:
+    """pages(url, html) -> (url, title): page-metadata extraction
+    (reference pipelines carry title as a vertex property of the page
+    table). Actor-pool stage, html dropped on output."""
+
+    def __init__(self) -> None:
+        from raylinkgraph.extract import extract_title
+
+        self._title = extract_title
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        titles = [
+            self._title(html) for html in batch.column("html").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "title": pa.array(titles, pa.string()),
+            }
+        )
+
+
+def page_titles(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """(url, title) metadata table from the pages parquet."""
+    return pages.select_columns(["url", "html"]).map_batches(
+        ExtractTitles,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

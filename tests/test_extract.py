@@ -132,3 +132,37 @@ def test_anchor_extractor_nesting_and_entities():
         ("https://h.example/b", "two"),
         ("https://h.example/c", "implicit close"),
     ]
+
+
+def test_page_titles_ground_truth(ray_session, tmp_root):
+    """Extracted titles must equal PageGen's known title strings."""
+    import os
+
+    import ray.data as rd
+
+    from raylinkgraph.schema import PageGen
+    from raylinkgraph.sources.pages import generate_pages_parquet
+    from raylinkgraph.stages.extract_stage import page_titles
+
+    n = 60
+    pages = os.path.join(tmp_root, "titles-pages")
+    generate_pages_parquet(pages, n, seed=13)
+    got = (
+        page_titles(rd.read_parquet(pages))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    g = PageGen(n, 13)
+    want = {
+        g.url_of(i): f"Page {i} of site{g.site_of(i)}" for i in range(n)
+    }
+    assert len(got) == n
+    for _, r in got.iterrows():
+        assert r["title"] == want[r["url"]], r["url"]
+
+
+def test_extract_title_edge_cases():
+    from raylinkgraph.extract import extract_title
+
+    assert extract_title(b"<title>  a \n b </title>") == "a b"
+    assert extract_title(b"<title>x &amp; y</title><title>z</title>") == "x & y"
+    assert extract_title(b"<body>none</body>") == ""
