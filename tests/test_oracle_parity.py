@@ -44,6 +44,17 @@ def test_query_matches_oracle(ray_session, con, name):
     assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        gk, wk = np.asarray(gv).dtype.kind, np.asarray(wv).dtype.kind
+        # The driver hashes TYPED values: an int64 engine column vs a
+        # float64 oracle column is a hash mismatch even when every value
+        # is equal.  Mirror that here so dtype drift can't hide behind
+        # allclose (int/uint are interchangeable widths; float must pair
+        # with float).
+        num = {"i": "int", "u": "int", "f": "float"}
+        if gk in num or wk in num:
+            assert num.get(gk) == num.get(wk), (
+                f"{name}.{c}: dtype kind {gk} vs oracle {wk}"
+            )
         if np.issubdtype(np.asarray(gv).dtype, np.floating):
             assert np.allclose(gv.astype(np.float64), wv.astype(np.float64)), f"{name}.{c}"
         else:
