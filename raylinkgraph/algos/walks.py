@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from raylinkgraph.functions.hashing import partition_of
+from raylinkgraph.functions.hashing import check_u32, partition_of
 
 _B = 32
 
@@ -449,10 +449,19 @@ def node2vec_walks(
             out = cc.drop(columns=["s", "d", "side", "w", "__p"],
                           errors="ignore").copy()
             if len(ee):
-                enc_e = ee["s"].to_numpy(np.int64) * np.int64(1 << 31) + \
-                    ee["d"].to_numpy(np.int64)
-                enc_c = out["prev"].to_numpy(np.int64) * np.int64(1 << 31) + \
-                    out["x"].to_numpy(np.int64)
+                # (s << 32) | d packing (repo convention, cf. ktruss._enc):
+                # injective for u32 ids and monotone in (s, d), so enc_e
+                # stays sorted after the (s, d) sort above.  The previous
+                # s * 2^31 + d encoding collided and broke sortedness for
+                # ids >= 2^31, which check_u32 elsewhere permits.
+                es = check_u32(ee["s"].to_numpy(np.int64), "node2vec prev")
+                ed = check_u32(ee["d"].to_numpy(np.int64), "node2vec x")
+                enc_e = (es.astype(np.uint64) << np.uint64(32)) | \
+                    ed.astype(np.uint64)
+                cs = check_u32(out["prev"].to_numpy(np.int64), "node2vec prev")
+                cd = check_u32(out["x"].to_numpy(np.int64), "node2vec x")
+                enc_c = (cs.astype(np.uint64) << np.uint64(32)) | \
+                    cd.astype(np.uint64)
                 pos = np.searchsorted(enc_e, enc_c)
                 pos = np.minimum(pos, len(enc_e) - 1)
                 out["is_edge"] = (enc_e[pos] == enc_c).astype(np.int8)

@@ -408,9 +408,10 @@ def hash64_band_pairs(
     least one chunk (pigeonhole), so candidate generation is
     recall-complete. The (chunk, key) space is unbounded -> hashed down
     to 64 fixed partitions (the engine-wide any-key rule); hot buckets
-    sub-split on splitmix64 of the full signature with counted,
-    logged chunk residue — degraded recall is reported, never silent."""
-    from raylinkgraph.functions.hashing import pair_hash, partition_of, splitmix64
+    sub-split locality-preservingly on the top bits of the signature
+    outside the matched chunk — degraded recall is reported, never
+    silent."""
+    from raylinkgraph.functions.hashing import pair_hash, partition_of
 
     B = max_hamming + 1
     if not 1 <= B <= 64:
@@ -466,12 +467,23 @@ def hash64_band_pairs(
         h = g["sig"].to_numpy(np.int64).astype(np.uint64)
         if n <= maxb:
             return pairs_of(ids, h)
-        # hot bucket: sub-split on a full-signature mix (near-dups agree
-        # on almost all bits, so they usually collide); chunk any residue
-        # and log the skipped cross-chunk comparisons instead of dropping
+        # Hot bucket: sub-split on the TOP bits of the signature with the
+        # matched band chunk removed (locality-preserving).  Every pair in
+        # this bucket agrees exactly on chunk c; a true near-dup pair
+        # differs in <= max_hamming of the remaining bits, so splitting on
+        # log2(n_sub) high REST bits separates it only when a differing
+        # bit lands in those few positions (~log2(n_sub)/rest_bits per
+        # bit) — unlike an avalanche mix of the full signature, which
+        # separates any hamming>=1 pair w.p. (n_sub-1)/n_sub.  Chunk any
+        # residue; log both as potential recall loss, never silently.
+        c = int(g["chunk"].iloc[0])
+        s_c, w_c = shifts[c], int(masks[c]).bit_length()
+        rest = ((h >> _U64(s_c + w_c)) << _U64(s_c)) | (h & _U64((1 << s_c) - 1))
+        rest_bits = 64 - w_c
         n_sub = int(np.ceil(n / maxb))
-        sub = (splitmix64(h.astype(np.int64)) % np.uint64(n_sub)).astype(np.int64)
-        parts, skipped = [], 0
+        sub_bits = max(1, int(np.ceil(np.log2(n_sub))))
+        sub = (rest >> _U64(rest_bits - sub_bits)).astype(np.int64)
+        parts, chunked = [], 0
         for s in np.unique(sub):
             m = sub == s
             sids, sh = ids[m], h[m]
@@ -479,10 +491,14 @@ def hash64_band_pairs(
                 hi = min(lo + maxb, len(sids))
                 parts.append(pairs_of(sids[lo:hi], sh[lo:hi]))
             if len(sids) > maxb:
-                skipped += 1
-        if skipped:
-            print(f"[hash64_band] hot bucket (n={n}): {skipped} sub-buckets chunked",
-                  file=sys.stderr)
+                chunked += 1
+        print(
+            f"[hash64_band] hot bucket chunk={c} n={n}: split into "
+            f"{1 << sub_bits} top-rest-bit sub-buckets (potential recall "
+            f"loss for pairs differing in the top {sub_bits} rest bits)"
+            + (f"; {chunked} sub-buckets further chunked" if chunked else ""),
+            file=sys.stderr,
+        )
         out = pd.concat(parts, ignore_index=True) if parts else empty
         return out.drop_duplicates(["a", "b"]) if len(out) else empty
 

@@ -63,6 +63,7 @@ def hash_join(
     right_on: str | None = None,
     how: str = "inner",
     broadcast_limit: int = 5_000_000,
+    broadcast_bytes_limit: int = 256 << 20,
     buckets: int = 64,
     rsuffix: str = "_r",
     prefilter: str | None = None,
@@ -89,7 +90,9 @@ def hash_join(
     if how in ("semi", "anti"):
         return _filter_join(
             left, right, on, right_on or on, how,
-            broadcast_limit=broadcast_limit, buckets=buckets,
+            broadcast_limit=broadcast_limit,
+            broadcast_bytes_limit=broadcast_bytes_limit,
+            buckets=buckets,
             prefilter=prefilter,
         )
     if how not in ("inner", "left"):
@@ -101,7 +104,16 @@ def hash_join(
     ren = {c: (c + rsuffix if c in left_cols else c) for c in rcols}
     out_rcols = [ren[c] for c in rcols]
 
-    if right.count() <= broadcast_limit:
+    # Materialize once: count()/size_bytes() on a lazy Dataset would each
+    # re-execute its pipeline, and whichever path wins consumes it again.
+    # The byte gate matters when rows are wide (e.g. long url strings): a
+    # row-count gate alone would pin gigabytes on the driver before the
+    # partitioned fallback could kick in.
+    right = right.materialize()
+    if (
+        right.count() <= broadcast_limit
+        and right.size_bytes() <= broadcast_bytes_limit
+    ):
         rp = right.to_pandas().rename(columns=ren)
         rp = rp.rename(columns={right_on: on}) if right_on != on else rp
         ref = ray.put(rp)
@@ -205,28 +217,44 @@ def _filter_join(
     how: str,
     *,
     broadcast_limit: int,
+    broadcast_bytes_limit: int = 256 << 20,
     buckets: int,
     prefilter: str | None = None,
+    rkeys_ds: rd.Dataset | None = None,
+    n_keys: int | None = None,
 ) -> rd.Dataset:
     """semi / anti join: keep left rows by key membership in right.
 
     Only right's KEY column ever moves — the right side is reduced to
     its distinct keys per batch before anything is shipped, so the
     broadcast is a key set (not the table) and the partitioned path
-    unions key rows only. Output schema = left's schema, unchanged."""
+    unions key rows only. Output schema = left's schema, unchanged.
+
+    The key set is materialized once (count()/size_bytes() on a lazy
+    Dataset would each re-run the right pipeline, and the chosen path
+    consumes it again); the broadcast gate is rows AND bytes, so wide
+    string keys fall back to the partitioned path before gigabytes pin
+    on the driver."""
     left_cols = list(left.schema().names)
     keep_present = how == "semi"
 
-    rkeys_ds = right.select_columns([right_on]).map_batches(
-        lambda b: b.select([right_on]).group_by([right_on]).aggregate([]),
-        batch_format="pyarrow",
-    )
+    if rkeys_ds is None:
+        rkeys_ds = right.select_columns([right_on]).map_batches(
+            lambda b: b.select([right_on]).group_by([right_on]).aggregate([]),
+            batch_format="pyarrow",
+        ).materialize()
+        # per-batch distinct: an upper bound on the distinct key count
+        # (and well under right's row count) — the honest measure of
+        # what would ship
+        n_keys = rkeys_ds.count()
 
-    if prefilter == "bloom" and right.count() > broadcast_limit:
+    over = n_keys > broadcast_limit or rkeys_ds.size_bytes() > broadcast_bytes_limit
+
+    if prefilter == "bloom" and over:
         from raylinkgraph.functions.sketches import bloom_build, bloom_contains
 
         bits, m, k = bloom_build(rkeys_ds, right_on, fpp=0.01,
-                                 n_keys=right.count())
+                                 n_keys=n_keys)
         bref = ray.put(bits)
 
         def _bloom_split(want_positive: bool):
@@ -246,7 +274,10 @@ def _filter_join(
         )
         exact = _filter_join(
             maybe, right, on, right_on, how,
-            broadcast_limit=broadcast_limit, buckets=buckets,
+            broadcast_limit=broadcast_limit,
+            broadcast_bytes_limit=broadcast_bytes_limit,
+            buckets=buckets,
+            rkeys_ds=rkeys_ds, n_keys=n_keys,
         )
         if keep_present:
             # bloom-negatives cannot match: the exact semi of the
@@ -258,7 +289,7 @@ def _filter_join(
         )
         return definite.union(exact)
 
-    if right.count() <= broadcast_limit:
+    if not over:
         rk = rkeys_ds.to_pandas()[right_on].unique()
         ref = ray.put(rk)
 

@@ -19,6 +19,32 @@ import ray
 import ray.data as rd
 
 
+def _train_sample(
+    embeddings: rd.Dataset, id_col: str, n_total: int, train_sample: int
+) -> pd.DataFrame:
+    """Deterministic ~``train_sample``-row training subset, independent
+    of the id distribution: select on ``splitmix64(id) % step == 0``
+    rather than ``id % step == 0`` (the latter assumes dense 0-based
+    ids — a sparse or offset id space yields an empty or skewed sample,
+    and an empty sample would crash np.stack before k-means)."""
+    from raylinkgraph.functions.hashing import splitmix64
+
+    step = max(1, n_total // train_sample)
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = splitmix64(ids.astype(np.int64)) % np.uint64(step) == 0
+        return batch.filter(pa.array(keep))
+
+    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    if not len(train):
+        raise ValueError(
+            f"k-means training sample is empty (n_total={n_total}, "
+            f"step={step}); the input id column may be empty"
+        )
+    return train.sort_values(id_col)
+
+
 def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -429,14 +455,7 @@ def ivf_knn_cosine(
     against exact knn_cosine in tests."""
     # --- train: deterministic modulo sample, driver-side small k-means
     n_total = embeddings.count()
-    step = max(1, n_total // train_sample)
-
-    def sample_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % step == 0))
-
-    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    train = train.sort_values(id_col)
+    train = _train_sample(embeddings, id_col, n_total, train_sample)
     Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
     C = _spherical_kmeans(Xt, min(n_cells, len(Xt)))
 
@@ -555,14 +574,7 @@ def semantic_dedup(
     are the unit of parallelism, key count is bounded, so a plain
     groupby is safe)."""
     n_total = embeddings.count()
-    step = max(1, n_total // train_sample)
-
-    def sample_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % step == 0))
-
-    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    train = train.sort_values(id_col)
+    train = _train_sample(embeddings, id_col, n_total, train_sample)
     Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
     C = _spherical_kmeans(Xt, min(n_cells, len(Xt)))
     cref = ray.put(C)
@@ -695,14 +707,7 @@ def kmeans_assign(
     shuffled and nothing proportional to it reaches the driver. Fully
     deterministic (evenly-spaced init, no RNG); sim quantized e6."""
     n_total = embeddings.count()
-    step = max(1, n_total // train_sample)
-
-    def sample_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % step == 0))
-
-    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    train = train.sort_values(id_col)
+    train = _train_sample(embeddings, id_col, n_total, train_sample)
     Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
     C = _spherical_kmeans(
         Xt, min(n_clusters, len(Xt)), n_iter=n_iter, init="farthest"
@@ -759,14 +764,7 @@ def ivf_index_build(
     from raylinkgraph.sources.resumable import resumable_write
 
     n_total = embeddings.count()
-    step = max(1, n_total // train_sample)
-
-    def sample_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % step == 0))
-
-    train = embeddings.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    train = train.sort_values(id_col)
+    train = _train_sample(embeddings, id_col, n_total, train_sample)
     Xt = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
     C = _spherical_kmeans(Xt, min(n_cells, len(Xt)), n_iter=n_iter, init="farthest")
     os.makedirs(out_dir, exist_ok=True)

@@ -868,14 +868,19 @@ def reciprocity(
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         pair = g["pair"].to_numpy(np.int64)
-        fwd = g["fwd"].to_numpy(np.bool_)
-        # dedup per direction, then count pairs present in both
-        enc = (pair << np.int64(1)) | fwd.astype(np.int64)
-        u = np.unique(enc)
-        n_edges = len(u)
-        upair = u >> np.int64(1)
-        # consecutive equal unordered keys with different direction bits
-        both = np.flatnonzero(upair[:-1] == upair[1:])
+        fwd = g["fwd"].to_numpy(np.int8)
+        # dedup on the (pair, direction) columns directly — the previous
+        # (pair << 1) | fwd encoding dropped bit 63 of the packed pair,
+        # so for ids in [2^31, 2^32) (allowed by check_u32) two distinct
+        # unordered pairs could collide after the shift
+        order = np.lexsort((fwd, pair))
+        p, f = pair[order], fwd[order]
+        keep = np.ones(len(p), np.bool_)
+        keep[1:] = (p[1:] != p[:-1]) | (f[1:] != f[:-1])
+        p = p[keep]
+        n_edges = len(p)
+        # after dedup, a pair appearing twice has both directions
+        both = np.flatnonzero(p[:-1] == p[1:])
         n_recip = 2 * len(both)
         return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
 

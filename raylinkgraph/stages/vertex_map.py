@@ -61,21 +61,28 @@ def attach_gids(
     link_pairs: rd.Dataset,
     vertex_map: rd.Dataset,
     *,
-    broadcast_limit: int = 50_000_000,
+    broadcast_limit: int = 5_000_000,
+    broadcast_bytes_limit: int = 256 << 20,
 ) -> rd.Dataset:
     """Substitute urls for gids: (src_url, dst_url) -> (src_id, dst_id).
 
     The reference's gid-substitution step (docs/frag_intro.md 1.5.1). The
     vertex map is broadcast via a single ``ray.put`` (sorted url array +
     gid array; lookup is a vectorized searchsorted) and read zero-copy by
-    every map task — NOT re-shipped per batch. For maps beyond
-    ``broadcast_limit`` rows a partitioned hash join would be required;
-    at 10^12-page scale the url->gid substitution should instead happen
-    inside the same shuffle that builds the map (bucket-join on
-    crc32(url) % V_P), which `attach_gids_partitioned` implements.
+    every map task — NOT re-shipped per batch. The gate is rows AND
+    bytes (urls are wide, ~60-100 B each: a row gate alone would pin
+    gigabytes on the driver before falling back); beyond either limit
+    the url->gid substitution happens inside the same kind of shuffle
+    that built the map (bucket-join on crc32(url) % V_P), which
+    `attach_gids_partitioned` implements.
     """
-    n = vertex_map.count()
-    if n > broadcast_limit:
+    # materialize once: count()/size_bytes() would otherwise each re-run
+    # the vertex-map shuffle, and the chosen path consumes it again
+    vertex_map = vertex_map.materialize()
+    if (
+        vertex_map.count() > broadcast_limit
+        or vertex_map.size_bytes() > broadcast_bytes_limit
+    ):
         return attach_gids_partitioned(link_pairs, vertex_map)
     vm = vertex_map.to_pandas()
     vm = vm.sort_values("url")
@@ -121,7 +128,10 @@ def attach_gids_partitioned(
 def _bucket_join(
     left: rd.Dataset, vmap: rd.Dataset, key: str, out_col: str, buckets: int
 ) -> rd.Dataset:
-    left_cols = [c for c in left.schema().names]
+    from raylinkgraph.functions.joins import _pa_schema
+
+    lschema = _pa_schema(left)
+    left_cols = list(lschema.names)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         b = (crc32_str(batch.column(key)) % np.uint32(buckets)).astype(np.int32)
@@ -130,7 +140,7 @@ def _bucket_join(
 
     def tag_map(batch: pa.Table) -> pa.Table:
         b = (crc32_str(batch.column("url")) % np.uint32(buckets)).astype(np.int32)
-        cols: dict = {c: pa.nulls(len(b), left.schema().field(c).type) for c in left_cols}
+        cols: dict = {c: pa.nulls(len(b), lschema.field(c).type) for c in left_cols}
         cols[key] = batch.column("url")
         cols["map_gid"] = batch.column("gid")
         cols["bucket"] = pa.array(b, pa.int32())

@@ -192,3 +192,66 @@ def test_bloom_sketch_no_false_negatives(ray_session):
     probe_s = np.array([f"u{i}" for i in range(1000)], dtype=object)
     got2 = bloom_contains(b2, m2, k2, probe_s)
     assert got2[::2].all()
+
+
+def test_byte_gate_falls_back_on_wide_strings(ray_session):
+    """A right side few in ROWS but wide in BYTES must route through the
+    partitioned path (round-4 verdict: the row-only gate pinned multi-GB
+    url maps on the driver) and still produce the broadcast answer."""
+    left, right = _mk()
+    want = hash_join(
+        rd.from_pandas(left.copy()),
+        rd.from_pandas(right.copy()),
+        on="k", right_on="rk", how="inner", buckets=8,
+    ).to_pandas()
+    got = hash_join(
+        rd.from_pandas(left.copy()),
+        rd.from_pandas(right.copy()),
+        on="k", right_on="rk", how="inner", buckets=8,
+        broadcast_limit=10**6,        # rows alone would broadcast
+        broadcast_bytes_limit=1,      # bytes force the partitioned path
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(got)[sorted(got.columns)], _norm(want)[sorted(want.columns)]
+    )
+    # semi/anti byte gate too
+    for how in ("semi", "anti"):
+        want_f = hash_join(
+            rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+            on="k", right_on="rk", how=how, buckets=8,
+        ).to_pandas()
+        got_f = hash_join(
+            rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+            on="k", right_on="rk", how=how, buckets=8,
+            broadcast_limit=10**6, broadcast_bytes_limit=1,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            _norm(got_f)[sorted(got_f.columns)],
+            _norm(want_f)[sorted(want_f.columns)],
+        )
+
+
+def test_attach_gids_byte_gate(ray_session):
+    """attach_gids with a byte limit of 1 must take the partitioned
+    bucket-join and agree with the broadcast path."""
+    import ray.data as _rd
+
+    from raylinkgraph.stages.vertex_map import attach_gids, build_vertex_map
+
+    pairs = pd.DataFrame(
+        {
+            "src_url": [f"http://h{i % 13}.test/p{i}" for i in range(300)],
+            "dst_url": [f"http://h{(i * 7) % 13}.test/p{(i * 3) % 300}" for i in range(300)],
+        }
+    )
+    vmap = build_vertex_map(_rd.from_pandas(pairs.copy()))
+    bc = attach_gids(_rd.from_pandas(pairs.copy()), vmap).to_pandas()
+    vmap2 = build_vertex_map(_rd.from_pandas(pairs.copy()))
+    pt = attach_gids(
+        _rd.from_pandas(pairs.copy()), vmap2, broadcast_bytes_limit=1
+    ).to_pandas()
+    key = ["src_id", "dst_id"]
+    pd.testing.assert_frame_equal(
+        bc.sort_values(key).reset_index(drop=True),
+        pt[key].sort_values(key).reset_index(drop=True).astype(bc.dtypes.to_dict()),
+    )
