@@ -574,6 +574,47 @@ def q_graph_harmonic(sf_dir):
     ).reset_index(drop=True)
 
 
+def q_graph_closeness_exact(sf_dir):
+    """EXACT all-source closeness (the reference's default —
+    apps/centrality/degree/... exact semantics, not the sampled
+    estimate): every vertex of the undirected labeled pg graph is a
+    source, executed in ceil(V/64) bitmask-MSBFS waves (the same wave
+    machinery as run_betweenness_exact). closeness = reached / sum_d."""
+    from raylinkgraph.algos.centrality import run_closeness
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pg_und")
+    df = run_closeness(g, workdir_for(sf_dir, "msbfs_exact"))  # all sources
+    df = df[df["sum_d"] > 0]
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "reached": df["reached"].to_numpy(np.int64),
+            "closeness_e6": _rank_e6(
+                df["reached"].to_numpy(np.float64) / df["sum_d"].to_numpy(np.float64)
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def q_graph_harmonic_exact(sf_dir):
+    """EXACT all-source harmonic centrality from the SAME wave set as
+    q_graph_closeness_exact (the second query resumes the converged
+    per-wave checkpoints)."""
+    from raylinkgraph.algos.centrality import run_closeness
+    from raylinkgraph.pipelines.tpch_graph import get_graph, workdir_for
+
+    g = get_graph(sf_dir, "pg_und")
+    df = run_closeness(g, workdir_for(sf_dir, "msbfs_exact"))
+    df = df[df["reached"] > 0]
+    return pd.DataFrame(
+        {
+            "oid": df["oid"].to_numpy(np.int64),
+            "harmonic_e6": _rank_e6(df["sum_inv"].to_numpy(np.float64)),
+        }
+    ).reset_index(drop=True)
+
+
 def q_graph_betweenness(sf_dir):
     """Sampled-source Brandes betweenness (8 smallest ids as sources) on
     the pp graph: one multi-source forward + one backward BSP job.
@@ -3046,6 +3087,71 @@ def q_pg_pagerank(sf_dir):
     ).sort_values("oid").reset_index(drop=True)
 
 
+def q_pg_str_counts(sf_dir):
+    """Per-label cardinalities of the STRING-keyed labeled graph (vertex
+    oids may be std::string in the reference,
+    python/graphscope/framework/utils.py:411-418) — exercises the dense
+    key-map path (vertex_map.dense_key_map) end to end including the
+    string distinct-pair count."""
+    from raylinkgraph.pipelines.tpch_graph import tpch_property_graph_str
+
+    pg = tpch_property_graph_str(sf_dir)
+    rows = [("vertex", lab, pg.num_vertices(lab)) for lab in pg.vertex_labels]
+    rows += [("edge", lab, pg.num_edges(lab, distinct=True)) for lab in pg.edge_labels]
+    return (
+        pd.DataFrame(rows, columns=["kind", "label", "n"])
+        .sort_values(["kind", "label"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pg_str_indegrees(sf_dir):
+    """In-degrees over the string-keyed labeled projection, mapped back
+    to (vlabel, original string key) via the label key maps (with_keys)
+    — nations accumulate one edge per customer + per supplier."""
+    from raylinkgraph.pipelines import graph_ops
+    from raylinkgraph.pipelines.tpch_graph import get_graph, tpch_property_graph_str
+
+    g = get_graph(sf_dir, "pgs")
+    pg = tpch_property_graph_str(sf_dir)
+    df = graph_ops.in_degrees(g).to_pandas()
+    df = df[df["in_deg"] > 0]
+    df = pg.with_keys(df, "oid")
+    return (
+        df[["vlabel", "vkey", "in_deg"]]
+        .sort_values(["vlabel", "vkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pg_str_wcc(sf_dir):
+    """WCC over the undirected string-keyed projection; components are
+    canonically relabeled to the MIN ORIGINAL KEY STRING among their
+    members (so the output is pure strings and the oracle needs no gid
+    arithmetic at all). Each component is one nation + its customers +
+    suppliers; nations with neither stay out of the graph entirely."""
+    from raylinkgraph.algos import WCC
+    from raylinkgraph.bsp import run_bsp
+    from raylinkgraph.pipelines.tpch_graph import (
+        get_graph,
+        tpch_property_graph_str,
+        workdir_for,
+    )
+
+    g = get_graph(sf_dir, "pgs_und")
+    res = run_bsp(g, WCC(), workdir_for(sf_dir, "pgs_wcc"), max_rounds=10_000)
+    df = tpch_property_graph_str(sf_dir).with_keys(
+        res.state_pandas()[["oid", "comp"]]
+    )
+    comp_key = df.groupby("comp")["vkey"].min()
+    df["comp"] = comp_key.reindex(df["comp"]).to_numpy(object)
+    return (
+        df[["vlabel", "vkey", "comp"]]
+        .sort_values(["vlabel", "vkey"])
+        .reset_index(drop=True)
+    )
+
+
 WPR_ROUNDS = 15
 
 
@@ -4112,6 +4218,11 @@ _DRIVER_PRIORITY: list[str] = [
     "rel_nation_revenue",
     "rel_cube_counts",
     # (c) new round-5 queries are appended here as they land
+    "pg_str_counts",
+    "pg_str_indegrees",
+    "pg_str_wcc",
+    "graph_closeness_exact",
+    "graph_harmonic_exact",
 ]
 
 
@@ -4145,6 +4256,13 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "pg_wcc": q_pg_wcc,
         "pg_pagerank": q_pg_pagerank,
         "pg_graphar_roundtrip": q_pg_graphar_roundtrip,
+        # -- round-5: string-OID labeled graphs ---------------------------
+        "pg_str_counts": q_pg_str_counts,
+        "pg_str_indegrees": q_pg_str_indegrees,
+        "pg_str_wcc": q_pg_str_wcc,
+        # -- round-5: exact all-source centrality -------------------------
+        "graph_closeness_exact": q_graph_closeness_exact,
+        "graph_harmonic_exact": q_graph_harmonic_exact,
         "graph_betweenness64": q_graph_betweenness64,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -4360,6 +4478,11 @@ _PG_EDGES = (
     f"UNION ALL SELECT n_nationkey + {_PG_S}, n_regionkey + {2 * _PG_S} FROM nation "
     f"UNION ALL SELECT s_suppkey + {3 * _PG_S}, s_nationkey + {_PG_S} FROM supplier)"
 )
+
+
+# _msbfs_ctes-shaped (u, v) form of the pg edge list (it symmetrizes
+# internally, so the directed projection is the right input)
+_PG_UEDGES_UV = f"SELECT src_id AS u, dst_id AS v FROM ({_PG_EDGES})"
 
 
 def _pg_vlabel(col: str) -> str:
@@ -5607,8 +5730,8 @@ def _msbfs_ctes(rounds: int, n_src: int, edges_sql: str | None = None) -> list[s
     return ctes
 
 
-def _closeness_sql(rounds: int, n_src: int) -> str:
-    ctes = _msbfs_ctes(rounds, n_src)
+def _closeness_sql(rounds: int, n_src: int, edges_sql: str | None = None) -> str:
+    ctes = _msbfs_ctes(rounds, n_src, edges_sql=edges_sql)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -5619,8 +5742,8 @@ FROM p{rounds} WHERE {_CONV_OK} GROUP BY v HAVING SUM(dist) > 0 ORDER BY oid
     )
 
 
-def _harmonic_sql(rounds: int, n_src: int) -> str:
-    ctes = _msbfs_ctes(rounds, n_src)
+def _harmonic_sql(rounds: int, n_src: int, edges_sql: str | None = None) -> str:
+    ctes = _msbfs_ctes(rounds, n_src, edges_sql=edges_sql)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -6234,6 +6357,48 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pg_pagerank": _pagerank_sql(PG_PR_ROUNDS, ALPHA, _PG_EDGES),
         "pg_graphar_roundtrip": f"SELECT * FROM ({_PG_EDGES}) ORDER BY src_id, dst_id",
+        # -- string-OID labeled graph: outputs are pure original-key
+        # strings, so the oracles never touch gid arithmetic ----------------
+        "pg_str_counts": (
+            "SELECT * FROM ("
+            "SELECT 'vertex' AS kind, 'customer' AS label, COUNT(*) AS n FROM customer "
+            "UNION ALL SELECT 'vertex', 'nation', COUNT(*) FROM nation "
+            "UNION ALL SELECT 'vertex', 'supplier', COUNT(*) FROM supplier "
+            "UNION ALL SELECT 'edge', 'cust_nation', COUNT(*) FROM "
+            "(SELECT DISTINCT c_name, n_name FROM customer "
+            "JOIN nation ON n_nationkey = c_nationkey) "
+            "UNION ALL SELECT 'edge', 'supp_nation', COUNT(*) FROM "
+            "(SELECT DISTINCT s_name, n_name FROM supplier "
+            "JOIN nation ON n_nationkey = s_nationkey)"
+            ") ORDER BY kind, label"
+        ),
+        "pg_str_indegrees": (
+            "SELECT 'nation' AS vlabel, n_name AS vkey, "
+            "(SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)"
+            " + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)"
+            " AS in_deg FROM nation "
+            "WHERE (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)"
+            " + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) > 0 "
+            "ORDER BY vlabel, vkey"
+        ),
+        "pg_str_wcc": (
+            "WITH nmin AS ("
+            "SELECT n_nationkey, n_name, LEAST(n_name, "
+            "COALESCE((SELECT MIN(c_name) FROM customer "
+            "WHERE c_nationkey = n_nationkey), n_name), "
+            "COALESCE((SELECT MIN(s_name) FROM supplier "
+            "WHERE s_nationkey = n_nationkey), n_name)) AS comp "
+            "FROM nation WHERE EXISTS "
+            "(SELECT 1 FROM customer WHERE c_nationkey = n_nationkey) "
+            "OR EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)"
+            ") SELECT * FROM ("
+            "SELECT 'customer' AS vlabel, c_name AS vkey, comp FROM customer "
+            "JOIN nmin ON n_nationkey = c_nationkey "
+            "UNION ALL SELECT 'nation', n_name, comp FROM nmin "
+            "UNION ALL SELECT 'supplier', s_name, comp FROM supplier "
+            "JOIN nmin ON n_nationkey = s_nationkey"
+            ") ORDER BY vlabel, vkey"
+        ),
         "graph_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "graph_bfs": _bfs_sql(25),
         "graph_triangles": _triangles_sql(),
@@ -6249,6 +6414,15 @@ def oracle_sql() -> dict[str, str]:
         # co-order graph gets denser/shallower as sf grows)
         "graph_closeness": _closeness_sql(8, CLOSENESS_SRC),
         "graph_harmonic": _harmonic_sql(8, CLOSENESS_SRC),
+        # exact all-source closeness/harmonic over the undirected labeled
+        # pg graph: srcs LIMIT >= V selects every vertex; the pg BFS depth
+        # is <= 4 (customer-nation-region trees), 6 levels is margin
+        "graph_closeness_exact": _closeness_sql(
+            6, 1 << 40, edges_sql=_PG_UEDGES_UV
+        ),
+        "graph_harmonic_exact": _harmonic_sql(
+            6, 1 << 40, edges_sql=_PG_UEDGES_UV
+        ),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_betweenness64": _betweenness_sql(8, 64),
         "graph_edge_betweenness": _edge_betweenness_sql(8, BC_SRC),

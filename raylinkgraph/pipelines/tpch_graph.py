@@ -322,6 +322,50 @@ def tpch_property_graph(sf_dir: str):
     return pg
 
 
+def tpch_property_graph_str(sf_dir: str):
+    """String-OID labeled graph over the same tables — vertex keys are the
+    NAME columns (reference oids may be std::string,
+    python/graphscope/framework/utils.py:411-418; this is the labeled
+    analogue of the page pipeline's url-keyed vertex map).
+
+    Vertex labels (sorted order fixes the label indices):
+      customer (c_name) | nation (n_name) | supplier (s_name)
+    Edge labels (string endpoints resolved by joining the nation names
+    onto the fact rows — nation is broadcast-sized):
+      cust_nation: (c_name -> n_name)   supp_nation: (s_name -> n_name)
+    """
+    from raylinkgraph.functions.joins import hash_join
+    from raylinkgraph.pipelines.property_graph import PropertyGraph
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_name", "s_nationkey"]
+    )
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cn = hash_join(cust, nat, on="c_nationkey", right_on="n_nationkey").select_columns(
+        ["c_name", "n_name"]
+    )
+    sn = hash_join(supp, nat, on="s_nationkey", right_on="n_nationkey").select_columns(
+        ["s_name", "n_name"]
+    )
+    return (
+        PropertyGraph()
+        .add_vertices("customer", cust, "c_name")
+        .add_vertices("nation", nat, "n_name")
+        .add_vertices("supplier", supp, "s_name")
+        .add_edges(
+            "cust_nation", cn, "c_name", "n_name",
+            src_label="customer", dst_label="nation",
+        )
+        .add_edges(
+            "supp_nation", sn, "s_name", "n_name",
+            src_label="supplier", dst_label="nation",
+        )
+    )
+
+
 _MEMO: dict[tuple[str, str], LinkGraph] = {}
 
 
@@ -439,6 +483,10 @@ def get_graph(sf_dir: str, kind: str, *, P: int = 16) -> LinkGraph:
             g = tpch_property_graph(sf_dir).to_simple(gdir, P=P, symmetrize=False)
         elif kind == "pg_und":
             g = tpch_property_graph(sf_dir).to_simple(gdir, P=P, symmetrize=True)
+        elif kind == "pgs":
+            g = tpch_property_graph_str(sf_dir).to_simple(gdir, P=P, symmetrize=False)
+        elif kind == "pgs_und":
+            g = tpch_property_graph_str(sf_dir).to_simple(gdir, P=P, symmetrize=True)
         else:
             raise ValueError(kind)
     _MEMO[key] = g

@@ -122,6 +122,163 @@ def load_modern_graph(prefix: str | None = None) -> PropertyGraph:
     )
 
 
+def load_cora(prefix: str | None = None) -> PropertyGraph:
+    """Cora citation network (reference cora.py:26 — 'paper' vertices from
+    node.csv with word-vector features + class label, 'cites' edges from
+    edge.csv). The bundled fixture is a deterministic 48-paper synthetic
+    stand-in in the same layout; pass ``prefix`` for the real files."""
+    prefix = prefix or os.path.join(_DATA_DIR, "cora")
+    node = load_table(os.path.join(prefix, "node.csv"))
+    edge = load_table(os.path.join(prefix, "edge.csv"))
+    return (
+        PropertyGraph()
+        .add_vertices("paper", node, "id")
+        .add_edges(
+            "cites", edge, "src_id", "dst_id",
+            src_label="paper", dst_label="paper",
+        )
+    )
+
+
+def load_u2i(prefix: str | None = None) -> PropertyGraph:
+    """User-item bipartite graph (reference u2i.py:28 — ONE node.csv
+    registered as BOTH 'u' and 'i' labels, edge.csv registered forward as
+    'u-i' and reversed as 'u-i_reverse', all tab-delimited). Feeds
+    lpa_u2i end-to-end from files."""
+    prefix = prefix or os.path.join(_DATA_DIR, "u2i")
+    node = load_table(os.path.join(prefix, "node.csv") + "#delimiter=\t")
+    edge = load_table(os.path.join(prefix, "edge.csv") + "#delimiter=\t")
+    return (
+        PropertyGraph()
+        .add_vertices("u", node, "id")
+        .add_vertices("i", node, "id")
+        .add_edges(
+            "u-i", edge, "src_id", "dst_id",
+            src_label="u", dst_label="i", weight_col="weight",
+        )
+        .add_edges(
+            "u-i_reverse", edge, "dst_id", "src_id",
+            src_label="i", dst_label="u", weight_col="weight",
+        )
+    )
+
+
+def load_ogbn_mag(prefix: str | None = None) -> PropertyGraph:
+    """ogbn-mag academic graph (reference ogbn_mag.py:75-108): paper /
+    author / institution / field_of_study vertex labels; affiliated /
+    hasTopic / cites / writes edge labels. Bundled fixture: deterministic
+    small synthetic stand-in in the same csv layout."""
+    prefix = prefix or os.path.join(_DATA_DIR, "ogbn_mag_small")
+
+    def tbl(name: str) -> rd.Dataset:
+        return load_table(os.path.join(prefix, f"{name}.csv"))
+
+    return (
+        PropertyGraph()
+        .add_vertices("paper", tbl("paper"), "id")
+        .add_vertices("author", tbl("author"), "id")
+        .add_vertices("institution", tbl("institution"), "id")
+        .add_vertices("field_of_study", tbl("field_of_study"), "id")
+        .add_edges(
+            "affiliated", tbl("author_affiliated_with_institution"),
+            "src_id", "dst_id", src_label="author", dst_label="institution",
+        )
+        .add_edges(
+            "hasTopic", tbl("paper_has_topic_field_of_study"),
+            "src_id", "dst_id", src_label="paper", dst_label="field_of_study",
+        )
+        .add_edges(
+            "cites", tbl("paper_cites_paper"),
+            "src_id", "dst_id", src_label="paper", dst_label="paper",
+        )
+        .add_edges(
+            "writes", tbl("author_writes_paper"),
+            "src_id", "dst_id", src_label="author", dst_label="paper",
+        )
+    )
+
+
+# (elabel, file stem, src field, src label, dst field, dst label, weight)
+# — the reference's full ldbc_sample spec (ldbc.py:76-460); edge families
+# spanning several (src, dst) label pairs become one edge label per pair,
+# which is how the reference's fragments store them internally anyway.
+_LDBC_EDGES = [
+    ("replyOf", "comment_replyOf_comment", "Comment.id", "comment",
+     "Comment.id.1", "comment", None),
+    ("replyOf", "comment_replyOf_post", "Comment.id", "comment",
+     "Post.id", "post", None),
+    ("isPartOf", "place_isPartOf_place", "Place.id", "place",
+     "Place.id.1", "place", None),
+    ("isSubclassOf", "tagclass_isSubclassOf_tagclass", "TagClass.id",
+     "tagclass", "TagClass.id.1", "tagclass", None),
+    ("hasTag", "forum_hasTag_tag", "Forum.id", "forum", "Tag.id", "tag", None),
+    ("hasTag", "comment_hasTag_tag", "Comment.id", "comment", "Tag.id", "tag", None),
+    ("hasTag", "post_hasTag_tag", "Post.id", "post", "Tag.id", "tag", None),
+    ("knows", "person_knows_person", "Person.id", "person",
+     "Person.id.1", "person", None),
+    ("hasModerator", "forum_hasModerator_person", "Forum.id", "forum",
+     "Person.id", "person", None),
+    ("hasInterest", "person_hasInterest_tag", "Person.id", "person",
+     "Tag.id", "tag", None),
+    ("isLocatedIn", "post_isLocatedIn_place", "Post.id", "post",
+     "Place.id", "place", None),
+    ("isLocatedIn", "comment_isLocatedIn_place", "Comment.id", "comment",
+     "Place.id", "place", None),
+    ("isLocatedIn", "organisation_isLocatedIn_place", "Organisation.id",
+     "organisation", "Place.id", "place", None),
+    ("isLocatedIn", "person_isLocatedIn_place", "Person.id", "person",
+     "Place.id", "place", None),
+    ("hasType", "tag_hasType_tagclass", "Tag.id", "tag",
+     "TagClass.id", "tagclass", None),
+    ("hasCreator", "post_hasCreator_person", "Post.id", "post",
+     "Person.id", "person", None),
+    ("hasCreator", "comment_hasCreator_person", "Comment.id", "comment",
+     "Person.id", "person", None),
+    ("containerOf", "forum_containerOf_post", "Forum.id", "forum",
+     "Post.id", "post", None),
+    ("hasMember", "forum_hasMember_person", "Forum.id", "forum",
+     "Person.id", "person", None),
+    ("workAt", "person_workAt_organisation", "Person.id", "person",
+     "Organisation.id", "organisation", None),
+    ("studyAt", "person_studyAt_organisation", "Person.id", "person",
+     "Organisation.id", "organisation", None),
+    ("likes", "person_likes_comment", "Person.id", "person",
+     "Comment.id", "comment", None),
+    ("likes", "person_likes_post", "Person.id", "person",
+     "Post.id", "post", None),
+]
+
+_LDBC_VERTICES = [
+    "comment", "organisation", "tagclass", "person",
+    "forum", "place", "post", "tag",
+]
+
+
+def load_ldbc(prefix: str | None = None) -> PropertyGraph:
+    """LDBC SNB sample graph (reference ldbc.py:27 load_ldbc — 8 vertex
+    labels, 15 edge families over 23 '|'-delimited csv files). Families
+    that span several (src, dst) label pairs register one edge label per
+    pair: ``{family}_{src}_{dst}``. Bundled fixture: a deterministic
+    referentially-consistent miniature in the exact same layout; pass
+    ``prefix`` to load a real ldbc_sample export."""
+    prefix = prefix or os.path.join(_DATA_DIR, "ldbc_sample")
+
+    def tbl(stem: str) -> rd.Dataset:
+        return load_table(os.path.join(prefix, f"{stem}_0_0.csv") + "#delimiter=|")
+
+    pg = PropertyGraph()
+    for lab in _LDBC_VERTICES:
+        pg.add_vertices(lab, tbl(lab), "id")
+    for fam, stem, sfield, sl, dfield, dl, wcol in _LDBC_EDGES:
+        n = sum(1 for f, *_ in _LDBC_EDGES if f == fam)
+        label = fam if n == 1 else f"{fam}_{sl}_{dl}"
+        pg.add_edges(
+            label, tbl(stem), sfield, dfield,
+            src_label=sl, dst_label=dl, weight_col=wcol,
+        )
+    return pg
+
+
 def load_p2p_network(prefix: str | None = None) -> PropertyGraph:
     """Gnutella-shaped p2p graph (reference p2p_network.py:26 — single
     'host' vertex label, 'connect' edge label with a weight property).

@@ -57,6 +57,52 @@ def build_vertex_map(link_pairs: rd.Dataset, *, vmap_partitions: int = 64) -> rd
     )
 
 
+_MAX_LOCAL = 1 << 40  # property-graph gid packing: local key < 2^40
+
+
+def dense_key_map(
+    ds: rd.Dataset, key_col: str, *, partitions: int = 64
+) -> rd.Dataset:
+    """Distinct string keys -> deterministic dense int64 locals in [0, 2^40).
+
+    The string-OID analogue of ``build_vertex_map`` (reference vertex ids
+    may be int32/int64/std::string —
+    python/graphscope/framework/utils.py:411-418; oid-type notes
+    docs/analytical_engine/performance_tuning.md:155-162): keys are
+    hash-partitioned by ``crc32(key) % partitions``; within a partition
+    the sorted-unique keys get dense offsets; ``local = offset *
+    partitions + vpid``. Pure function of the key set — invariant to
+    parallelism, block layout and insertion order, which keeps labeled
+    gids (and everything derived from them) exactly reproducible.
+
+    Returns a Dataset with columns ``(key, local)``.
+    """
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(key_col))
+        vpid = crc32_str(keys) % np.uint32(partitions)
+        return pa.table(
+            {"key": keys, "vpid": pa.array(vpid.astype(np.int32), pa.int32())}
+        )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        vpid = int(g["vpid"].iloc[0])
+        keys = np.sort(g["key"].unique())
+        local = np.arange(len(keys), dtype=np.int64) * partitions + vpid
+        if len(local) and local[-1] >= _MAX_LOCAL:
+            raise ValueError(
+                f"label has too many keys: local id {local[-1]} >= 2^40"
+            )
+        return pd.DataFrame({"key": keys, "local": local})
+
+    return (
+        ds.select_columns([key_col])
+        .map_batches(local_unique, batch_format="pyarrow")
+        .groupby("vpid")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
 def attach_gids(
     link_pairs: rd.Dataset,
     vertex_map: rd.Dataset,
