@@ -3292,6 +3292,21 @@ def q_emb_pca(sf_dir):
     return out[["vec_id"] + [f"pc{i}_e6" for i in range(PCA_K)]]
 
 
+def q_emb_gram_e6(sf_dir):
+    """Exact integer Gram matrix of the e6-quantized embeddings — the
+    hash-exact pin of the distributed PCA moment pass (emb_pca itself
+    stays rows-only: eigendecomposition is not ANSI-SQL, but THIS is the
+    only part of PCA that touches the cluster; functions/similarity.
+    gram_moments_e6)."""
+    import ray.data as rd
+
+    from raylinkgraph.functions.similarity import gram_moments_e6
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    out = gram_moments_e6(emb).to_pandas()
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def q_rel_nation_revenue(sf_dir):
     """TPC-H Q5-shaped multiway join: lineitem x orders x customer x
     supplier, local-supply filter (c_nationkey = s_nationkey), revenue
@@ -4223,6 +4238,11 @@ _DRIVER_PRIORITY: list[str] = [
     "pg_str_wcc",
     "graph_closeness_exact",
     "graph_harmonic_exact",
+    # rows-only -> hash-exact upgrades (PageGen-intent VALUES oracles)
+    "pages_anchor_texts",
+    "pages_titles",
+    "pages_host_graph",
+    "emb_gram_e6",
 ]
 
 
@@ -4263,6 +4283,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         # -- round-5: exact all-source centrality -------------------------
         "graph_closeness_exact": q_graph_closeness_exact,
         "graph_harmonic_exact": q_graph_harmonic_exact,
+        "emb_gram_e6": q_emb_gram_e6,
         "graph_betweenness64": q_graph_betweenness64,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -4483,6 +4504,144 @@ _PG_EDGES = (
 # _msbfs_ctes-shaped (u, v) form of the pg edge list (it symmetrizes
 # internally, so the directed projection is the right input)
 _PG_UEDGES_UV = f"SELECT src_id AS u, dst_id AS v FROM ({_PG_EDGES})"
+
+
+_PAGEGEN_TRUTH_SQL: dict[str, str] = {}
+
+
+def _pagegen_truth_sqls() -> dict[str, str]:
+    """Hash-exact oracles for the pages_* queries whose input is the
+    FIXED flagship corpus (PageGen n=2000, seed=42 — independent of
+    sf_dir): the generator's intended output is computed here, straight
+    from the page plans (never from the engine's extraction code), and
+    inlined as a VALUES table. This is the driver-facing form of the
+    ground-truth pytests (tests/test_extract.py,
+    tests/test_funnel_quotient.py)."""
+    if _PAGEGEN_TRUTH_SQL:
+        return _PAGEGEN_TRUTH_SQL
+    from raylinkgraph.schema import PageGen
+
+    n = 2000
+    gen = PageGen(n, 42)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # anchors: every canonical link to page t carries 'to {t}', self-
+    # links dropped, multiplicities preserved
+    anchors: dict[tuple[str, str], int] = {}
+    hosts: dict[tuple[str, str], int] = {}
+    pairs: set[tuple[str, str]] = set()
+    for i in range(n):
+        src = gen.url_of(i)
+        for dst in gen.true_links(i):
+            if dst == src:
+                continue
+            t = int(dst.rsplit("p", 1)[1])
+            k = (dst, f"to {t}")
+            anchors[k] = anchors.get(k, 0) + 1
+            pairs.add((src, dst))
+    for s, d in pairs:  # host graph counts DISTINCT page edges
+        hk = (s.split("/")[2], d.split("/")[2])
+        hosts[hk] = hosts.get(hk, 0) + 1
+
+    arows = ",".join(
+        f"({q(d)},{q(a)},{c})" for (d, a), c in sorted(anchors.items())
+    )
+    _PAGEGEN_TRUTH_SQL["pages_anchor_texts"] = (
+        "SELECT dst_url, anchor, CAST(n AS BIGINT) AS n FROM (VALUES "
+        + arows
+        + ") AS t(dst_url, anchor, n) ORDER BY dst_url, anchor"
+    )
+    hrows = ",".join(
+        f"({q(s)},{q(d)},{c})" for (s, d), c in sorted(hosts.items())
+    )
+    _PAGEGEN_TRUTH_SQL["pages_host_graph"] = (
+        "SELECT src_host, dst_host, CAST(n_edges AS BIGINT) AS n_edges "
+        "FROM (VALUES " + hrows
+        + ") AS t(src_host, dst_host, n_edges) ORDER BY src_host, dst_host"
+    )
+    trows = ",".join(
+        f"({q(gen.url_of(i))},{q(f'Page {i} of site{gen.site_of(i)}')})"
+        for i in range(n)
+    )
+    _PAGEGEN_TRUTH_SQL["pages_titles"] = (
+        "SELECT url, title FROM (VALUES " + trows
+        + ") AS t(url, title) ORDER BY url"
+    )
+
+    # -- pages_host_rank: independent DENSE weighted power iteration over
+    # the ground-truth host graph (exactly the engine's spec: self-loops
+    # dropped BEFORE row-normalization, alpha=.85, stop when
+    # L1 < m * 1e-10, max 50 rounds — pipelines/linkgraph.host_rank)
+    import numpy as np
+
+    hpairs = {k: v for k, v in hosts.items() if k[0] != k[1]}
+    hlist = sorted({h for k in hpairs for h in k})
+    hidx = {h: i for i, h in enumerate(hlist)}
+    m = len(hlist)
+    W = np.zeros((m, m))
+    for (s, d), c in hpairs.items():
+        W[hidx[s], hidx[d]] = c
+    outw = W.sum(axis=1)
+    T = np.divide(W, outw[:, None], out=np.zeros_like(W), where=outw[:, None] > 0)
+    a, x = 0.85, np.full(m, 1.0 / m)
+    for _ in range(50):
+        dang = x[outw == 0].sum()
+        new = a * (x @ T + dang / m) + (1 - a) / m
+        l1 = np.abs(new - x).sum()
+        x = new
+        if l1 < m * 1e-10:
+            break
+    hre6 = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    hr_rows = ",".join(f"({q(h)},{hre6[hidx[h]]})" for h in hlist)
+    _PAGEGEN_TRUTH_SQL["pages_host_rank"] = (
+        "SELECT host, CAST(rank_e6 AS BIGINT) AS rank_e6 FROM (VALUES "
+        + hr_rows + ") AS t(host, rank_e6) ORDER BY host"
+    )
+
+    # -- pages_pagerank (= entry()): dense replica of the flagship
+    # PageRank (NX semantics, alpha=.85, stop when L1 < n*1e-6, max 100)
+    # over the ground-truth page graph, with the engine's own oid scheme
+    # (vertex_map: gid = sorted-rank-within-crc32-partition * 64 + vpid)
+    import zlib
+
+    urls = sorted({u for p in pairs for u in p})
+    VP = 64
+    by_vp: dict[int, list] = {}
+    for u in urls:
+        by_vp.setdefault(zlib.crc32(u.encode()) % VP, []).append(u)
+    oid = {}
+    for vp, us in by_vp.items():
+        for r, u in enumerate(sorted(us)):
+            oid[u] = r * VP + vp
+    uidx = {u: i for i, u in enumerate(urls)}
+    nv = len(urls)
+    src = np.array([uidx[s] for s, _ in sorted(pairs)], np.int64)
+    dst = np.array([uidx[d] for _, d in sorted(pairs)], np.int64)
+    odeg = np.bincount(src, minlength=nv).astype(np.float64)
+    rank = np.full(nv, 1.0 / nv)
+    for _ in range(100):
+        share = np.divide(rank, odeg, out=np.zeros(nv), where=odeg > 0)
+        agg = np.bincount(dst, weights=share[src], minlength=nv)
+        dang = rank[odeg == 0].sum()
+        new = a * agg + (1 - a) / nv + a * dang / nv
+        l1 = np.abs(new - rank).sum()
+        rank = new
+        if l1 < nv * 1e-6:
+            break
+    order = sorted(range(nv), key=lambda i: (-rank[i], oid[urls[i]]))[:50]
+    pr_rows = ",".join(
+        f"({oid[urls[i]]},{q(urls[i])},"
+        f"{int(np.floor(rank[i] * 1e6 + 0.5))})"
+        for i in order
+    )
+    _PAGEGEN_TRUTH_SQL["pages_pagerank"] = (
+        "SELECT CAST(oid AS BIGINT) AS oid, url, "
+        "CAST(rank_e6 AS BIGINT) AS rank_e6 FROM (VALUES " + pr_rows
+        + ") AS t(oid, url, rank_e6)"
+    )
+    return _PAGEGEN_TRUTH_SQL
 
 
 def _pg_vlabel(col: str) -> str:
@@ -6313,6 +6472,9 @@ JOIN pedges e6 ON e6.u = e1.v AND e6.v = e4.v
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # pages_* over the FIXED flagship corpus: generator-intent truth
+        # inlined as VALUES (sf-independent by construction)
+        **_pagegen_truth_sqls(),
         "graph_edges": f"SELECT * FROM ({_EDGES}) ORDER BY src_id, dst_id",
         "graph_out_degrees": (
             f"SELECT src_id, COUNT(*) AS out_deg FROM ({_EDGES}) "
@@ -6422,6 +6584,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_harmonic_exact": _harmonic_sql(
             6, 1 << 40, edges_sql=_PG_UEDGES_UV
+        ),
+        # exact int Gram of e6-quantized embeddings (PCA pass-1 pin):
+        # quantize -> BIGINT products -> HUGEINT sum cast back to BIGINT
+        "emb_gram_e6": (
+            "WITH ev AS (SELECT vec_id, unnest(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings), "
+            "q AS (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos, "
+            "CAST(FLOOR(CAST(val AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qv "
+            "FROM ev) "
+            "SELECT a.pos AS i, b.pos AS j, "
+            "CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos "
+            "GROUP BY a.pos, b.pos ORDER BY i, j"
         ),
         "graph_betweenness": _betweenness_sql(8, BC_SRC),
         "graph_betweenness64": _betweenness_sql(8, 64),

@@ -617,6 +617,60 @@ def semantic_dedup(
     )
 
 
+def gram_moments_e6(
+    embeddings: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    buckets: int = 32,
+) -> rd.Dataset:
+    """EXACT integer Gram (second-moment) matrix of the e6-quantized
+    embedding column: (i, j, gram) upper triangle, gram = sum over rows
+    of q_i * q_j with q = floor(v * 1e6 + 0.5) as int64.
+
+    This is the hash-exact pin of pca_project's distributed pass-1 shape
+    (per-batch X^T X partials -> fixed-width fold): quantizing BEFORE the
+    sum makes the aggregate an order-free integer sum, reproducible
+    verbatim in SQL — the same trick the money aggregates use. Each batch
+    contributes a d x d int64 partial regardless of row count; the fold
+    exchange is O(d^2), never O(rows). Exactness envelope: values must
+    satisfy max|q|^2 * n_rows < 2^63 (|v| <= 8 holds to ~10M rows; the
+    per-batch guard rejects |v| > 67 outright).
+    """
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        m = _to_matrix(b.column(vec_col))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        if len(q) and np.abs(q).max() > (1 << 26):
+            raise ValueError("embedding values too large for exact int64 Gram")
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        k = (iu * d + ju).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "g": g[iu, ju],
+                "b": (k % buckets).astype(np.int32),
+            }
+        )
+
+    def fold(grp: pd.DataFrame) -> pd.DataFrame:
+        out = grp.groupby("k", sort=True).agg(
+            i=("i", "first"), j=("j", "first"), gram=("g", "sum")
+        ).reset_index(drop=True)
+        out["gram"] = out["gram"].astype(np.int64)
+        return out[["i", "j", "gram"]]
+
+    return (
+        embeddings.select_columns([vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def pca_project(
     embeddings: rd.Dataset,
     *,
