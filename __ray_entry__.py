@@ -3307,6 +3307,43 @@ def q_emb_gram_e6(sf_dir):
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_rel_consolidate_features(sf_dir):
+    """consolidate_columns driver pin (reference dag_utils.py:232-276):
+    pack part's (p_size, p_retailprice) into one list<double> feature
+    column on the labeled graph, then unpack and integer-quantize — the
+    round trip is hash-exact against the flat columns, so the packing
+    is proven lossless through the Arrow fixed-size-list layout."""
+    import ray.data as rd
+
+    from raylinkgraph.pipelines.property_graph import PropertyGraph
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    pg = PropertyGraph().add_vertices("part", part, "p_partkey")
+    pg.consolidate_columns("part", ["p_size", "p_retailprice"], "feat")
+
+    def unpack(t):
+        import pyarrow as pa
+
+        feat = t.column("feat")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        flat = feat.values.to_numpy(zero_copy_only=False).reshape(-1, 2)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "size_i": pa.array(flat[:, 0].astype(np.int64), pa.int64()),
+                "price_c": pa.array(
+                    np.floor(flat[:, 1] * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = pg.vertices("part").map_batches(unpack, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def q_rel_nation_revenue(sf_dir):
     """TPC-H Q5-shaped multiway join: lineitem x orders x customer x
     supplier, local-supply filter (c_nationkey = s_nationkey), revenue
@@ -4242,7 +4279,10 @@ _DRIVER_PRIORITY: list[str] = [
     "pages_anchor_texts",
     "pages_titles",
     "pages_host_graph",
+    "pages_host_rank",
+    "pages_pagerank",
     "emb_gram_e6",
+    "rel_consolidate_features",
 ]
 
 
@@ -4284,6 +4324,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "graph_closeness_exact": q_graph_closeness_exact,
         "graph_harmonic_exact": q_graph_harmonic_exact,
         "emb_gram_e6": q_emb_gram_e6,
+        "rel_consolidate_features": q_rel_consolidate_features,
         "graph_betweenness64": q_graph_betweenness64,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -6584,6 +6625,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_harmonic_exact": _harmonic_sql(
             6, 1 << 40, edges_sql=_PG_UEDGES_UV
+        ),
+        "rel_consolidate_features": (
+            "SELECT p_partkey, CAST(p_size AS BIGINT) AS size_i, "
+            "CAST(FLOOR(CAST(p_retailprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+            "AS price_c FROM part ORDER BY p_partkey"
         ),
         # exact int Gram of e6-quantized embeddings (PCA pass-1 pin):
         # quantize -> BIGINT products -> HUGEINT sum cast back to BIGINT

@@ -172,6 +172,48 @@ class PropertyGraph:
             },
         }
 
+    def consolidate_columns(
+        self,
+        label: str,
+        columns: list[str],
+        result_column: str,
+        *,
+        kind: str = "vertex",
+    ) -> "PropertyGraph":
+        """Merge several numeric property columns of one label into a
+        single fixed-size ``list<double>`` column (reference
+        consolidate_columns, framework/dag_utils.py:232-276 — the
+        feature-packing step GNN pipelines run before sampling). One
+        vectorized map_batches; every other column rides through
+        untouched. Returns self (the label's dataset is replaced)."""
+        d = len(columns)
+
+        def merge(t: pa.Table) -> pa.Table:
+            mats = [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in columns
+            ]
+            flat = np.column_stack(mats).ravel()
+            packed = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float64()), d
+            )
+            out = t.drop_columns(columns)
+            return out.append_column(result_column, packed)
+
+        if kind == "vertex":
+            ds, idc = self._v[label]
+            if idc in columns:
+                raise ValueError("cannot consolidate the id column")
+            self._v[label] = (ds.map_batches(merge, batch_format="pyarrow"), idc)
+        elif kind == "edge":
+            m = self._e[label]
+            if m["src_col"] in columns or m["dst_col"] in columns:
+                raise ValueError("cannot consolidate endpoint columns")
+            m["ds"] = m["ds"].map_batches(merge, batch_format="pyarrow")
+        else:
+            raise ValueError(f"kind must be 'vertex' or 'edge', got {kind!r}")
+        return self
+
     # -- projection ----------------------------------------------------------
 
     def project(

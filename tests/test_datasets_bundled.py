@@ -104,3 +104,27 @@ def test_ogbn_mag_counts_and_pagerank(ray_session, tmp_path):
     st = res.state_pandas()
     assert len(st) == g.n_vertices
     assert np.isfinite(st["rank"].to_numpy()).all()
+
+
+def test_consolidate_columns_cora_features(ray_session):
+    """consolidate_columns (reference dag_utils.py:232): pack cora's
+    word-vector columns into ONE list<double> feature column — the
+    GNN-feature prep the reference runs on property graphs."""
+    import pyarrow as pa
+
+    pg = load_cora()
+    cols = [f"w{b}" for b in range(8)]
+    pg.consolidate_columns("paper", cols, "feat")
+    t = pg.vertices("paper").take_batch(50, batch_format="pyarrow")
+    names = t.column_names
+    assert "feat" in names and not set(cols) & set(names)
+    feat = t["feat"]
+    assert pa.types.is_fixed_size_list(feat.type) and feat.type.list_size == 8
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    mats = np.stack([np.asarray(v, np.float64) for v in feat.to_pylist()])
+    # packed values equal the generator's bit pattern (id bits 0..7)
+    for row, i in zip(mats, ids):
+        assert (row == [(int(i) >> b) & 1 for b in range(8)]).all()
+    # consolidating an endpoint / id column is rejected
+    with pytest.raises(ValueError):
+        pg.consolidate_columns("paper", ["id"], "bad")
