@@ -279,6 +279,58 @@ def load_ldbc(prefix: str | None = None) -> PropertyGraph:
     return pg
 
 
+def _simple_graph(
+    fixture: str, vlabel: str, elabel: str, prefix: str | None,
+    node_file: str = "nodes.csv",
+) -> PropertyGraph:
+    """Shared shape of the reference's single-label node/edge loaders
+    (ppi.py, ogbn_arxiv.py, ogbl_collab.py, ogbl_ddi.py,
+    ogbn_proteins.py): one vertex csv keyed 'id', one edge csv with
+    (src_id, dst_id) first — any extra columns ride along as edge
+    properties, exactly like the reference's property-less add_edges."""
+    prefix = prefix or os.path.join(_DATA_DIR, fixture)
+    nodes = load_table(os.path.join(prefix, node_file))
+    edges = load_table(os.path.join(prefix, "edge.csv"))
+    return (
+        PropertyGraph()
+        .add_vertices(vlabel, nodes, "id")
+        .add_edges(
+            elabel, edges, "src_id", "dst_id",
+            src_label=vlabel, dst_label=vlabel,
+        )
+    )
+
+
+def load_ppi(prefix: str | None = None) -> PropertyGraph:
+    """Protein-protein interaction graph (reference ppi.py:26:
+    'protein' vertices, 'link' edges)."""
+    return _simple_graph("ppi", "protein", "link", prefix, node_file="node.csv")
+
+
+def load_ogbn_arxiv(prefix: str | None = None) -> PropertyGraph:
+    """ogbn-arxiv citation graph (reference ogbn_arxiv.py:26: 'paper'
+    vertices, 'citation' edges)."""
+    return _simple_graph("ogbn_arxiv", "paper", "citation", prefix)
+
+
+def load_ogbl_collab(prefix: str | None = None) -> PropertyGraph:
+    """ogbl-collab collaboration graph (reference ogbl_collab.py:26:
+    'author' vertices, 'collaboration' edges)."""
+    return _simple_graph("ogbl_collab", "author", "collaboration", prefix)
+
+
+def load_ogbl_ddi(prefix: str | None = None) -> PropertyGraph:
+    """ogbl-ddi drug-drug interaction graph (reference ogbl_ddi.py:26:
+    'drug' vertices, 'effect' edges)."""
+    return _simple_graph("ogbl_ddi", "drug", "effect", prefix)
+
+
+def load_ogbn_proteins(prefix: str | None = None) -> PropertyGraph:
+    """ogbn-proteins association graph (reference ogbn_proteins.py:26:
+    'proteins' vertices, 'associations' edges with strength columns)."""
+    return _simple_graph("ogbn_proteins", "proteins", "associations", prefix)
+
+
 def load_p2p_network(prefix: str | None = None) -> PropertyGraph:
     """Gnutella-shaped p2p graph (reference p2p_network.py:26 — single
     'host' vertex label, 'connect' edge label with a weight property).

@@ -169,9 +169,43 @@ def gen_ogbn_mag() -> None:
           sorted({(a, (a * 5 + j * 3) % PA) for a in range(AU) for j in range(4)}), ",")
 
 
+def gen_simple_graphs() -> None:
+    # single-label node/edge loaders (ppi.py, ogbn_arxiv.py,
+    # ogbl_collab.py, ogbl_ddi.py, ogbn_proteins.py): nodes.csv/node.csv
+    # with id (+ simple features), edge.csv with src_id,dst_id (+ props)
+    def ring_plus_chords(n, a, b):
+        es = {(i, (i + 1) % n) for i in range(n)}
+        es |= {(i, (i * a + b) % n) for i in range(n) if (i * a + b) % n != i}
+        return sorted(es)
+
+    # ppi: node.csv (reference ppi.py uses node.csv/edge.csv)
+    write("ppi/node.csv", "id f0 f1",
+          [(i, i % 3, (i * 7) % 5) for i in range(50)], ",")
+    write("ppi/edge.csv", "src_id dst_id", ring_plus_chords(50, 7, 3), ",")
+    # ogbn_arxiv: citation DAG
+    write("ogbn_arxiv/nodes.csv", "id year label",
+          [(i, 2005 + i % 15, i % 40) for i in range(40)], ",")
+    write("ogbn_arxiv/edge.csv", "src_id dst_id",
+          sorted({(i, (i * 5 + k * 7) % i) for i in range(1, 40) for k in (1, 2)}),
+          ",")
+    # ogbl_collab
+    write("ogbl_collab/nodes.csv", "id", [(i,) for i in range(40)], ",")
+    write("ogbl_collab/edge.csv", "src_id dst_id", ring_plus_chords(40, 11, 5), ",")
+    # ogbl_ddi
+    write("ogbl_ddi/nodes.csv", "id", [(i,) for i in range(30)], ",")
+    write("ogbl_ddi/edge.csv", "src_id dst_id", ring_plus_chords(30, 13, 7), ",")
+    # ogbn_proteins: edges carry association-strength properties
+    write("ogbn_proteins/nodes.csv", "id species",
+          [(i, i % 8) for i in range(36)], ",")
+    write("ogbn_proteins/edge.csv", "src_id dst_id w0 w1",
+          [(s, d, round(0.1 + ((s + d) % 9) / 10, 1), (s * d) % 3)
+           for s, d in ring_plus_chords(36, 5, 11)], ",")
+
+
 if __name__ == "__main__":
     gen_cora()
     gen_u2i()
     gen_ldbc()
     gen_ogbn_mag()
+    gen_simple_graphs()
     print("fixtures written under", os.path.abspath(ROOT))

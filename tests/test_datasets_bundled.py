@@ -128,3 +128,34 @@ def test_consolidate_columns_cora_features(ray_session):
     # consolidating an endpoint / id column is rejected
     with pytest.raises(ValueError):
         pg.consolidate_columns("paper", ["id"], "bad")
+
+
+def test_simple_graph_loaders(ray_session):
+    """The five single-label loaders (reference ppi.py / ogbn_arxiv.py /
+    ogbl_collab.py / ogbl_ddi.py / ogbn_proteins.py): load -> project,
+    ids resolve, extra edge columns ride along as properties."""
+    from raylinkgraph.sources.datasets import (
+        load_ogbl_collab,
+        load_ogbl_ddi,
+        load_ogbn_arxiv,
+        load_ogbn_proteins,
+        load_ppi,
+    )
+
+    for fn, vlab, elab, nv in (
+        (load_ppi, "protein", "link", 50),
+        (load_ogbn_arxiv, "paper", "citation", 40),
+        (load_ogbl_collab, "author", "collaboration", 40),
+        (load_ogbl_ddi, "drug", "effect", 30),
+        (load_ogbn_proteins, "proteins", "associations", 36),
+    ):
+        pg = fn()
+        assert pg.vertex_labels == [vlab] and pg.edge_labels == [elab]
+        assert pg.num_vertices(vlab) == nv
+        edges = pg.project().to_pandas()
+        assert len(edges) == pg.num_edges(elab)
+        assert edges["src_id"].between(0, nv - 1).all()
+        assert edges["dst_id"].between(0, nv - 1).all()
+    # proteins edges carry their strength property columns
+    eds = load_ogbn_proteins().edges("associations")
+    assert {"w0", "w1"} <= set(eds.schema().names)
