@@ -54,7 +54,8 @@ def test_u2i_lpa_end_to_end(ray_session, tmp_path):
     res = run_bsp(g, LPAU2I(LABEL_STRIDE, max_rounds=4),
                   str(tmp_path / "lpa"), max_rounds=4)
     st = res.state_pandas()
-    assert len(st) == pg.project().to_pandas()[["src_id"]].nunique().iloc[0] or len(st) > 0
+    e = pg.project().to_pandas()
+    assert len(st) == pd.concat([e["src_id"], e["dst_id"]]).nunique()
     # every final label is a real vertex id
     assert np.isin(st["label"].to_numpy(), st["oid"].to_numpy()).all()
 
