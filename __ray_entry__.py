@@ -3292,6 +3292,21 @@ def q_emb_pca(sf_dir):
     return out[["vec_id"] + [f"pc{i}_e6" for i in range(PCA_K)]]
 
 
+REDACT_PAT = r"\b(spark|hash|window)\b"
+
+
+def q_doc_redact(sf_dir):
+    """Pattern-based scrubbing (the PII-redaction curation stage; the
+    fixture corpus carries no synthetic emails/phones, so the pattern
+    here is a term set that actually fires — the machinery is
+    identical). RE2 on both sides (Arrow kernels / DuckDB regexp_*)
+    makes the redacted text hash-exact. functions/textops.redact_pattern."""
+    from raylinkgraph.functions.textops import redact_pattern
+
+    out = redact_pattern(_docs(sf_dir), REDACT_PAT, "<TERM>").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_emb_gram_e6(sf_dir):
     """Exact integer Gram matrix of the e6-quantized embeddings — the
     hash-exact pin of the distributed PCA moment pass (emb_pca itself
@@ -4283,6 +4298,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pages_pagerank",
     "emb_gram_e6",
     "rel_consolidate_features",
+    "doc_redact",
 ]
 
 
@@ -4325,6 +4341,7 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "graph_harmonic_exact": q_graph_harmonic_exact,
         "emb_gram_e6": q_emb_gram_e6,
         "rel_consolidate_features": q_rel_consolidate_features,
+        "doc_redact": q_doc_redact,
         "graph_betweenness64": q_graph_betweenness64,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_decontaminate": q_doc_decontaminate,
@@ -6625,6 +6642,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_harmonic_exact": _harmonic_sql(
             6, 1 << 40, edges_sql=_PG_UEDGES_UV
+        ),
+        "doc_redact": (
+            f"SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            f"'{REDACT_PAT}')) AS BIGINT) AS n_hits, "
+            f"regexp_replace(text, '{REDACT_PAT}', '<TERM>', 'g') AS text_red "
+            "FROM documents ORDER BY doc_id"
         ),
         "rel_consolidate_features": (
             "SELECT p_partkey, CAST(p_size AS BIGINT) AS size_i, "

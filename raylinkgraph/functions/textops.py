@@ -253,6 +253,41 @@ def top_ngrams(
     )
 
 
+def redact_pattern(
+    docs: rd.Dataset,
+    pattern: str,
+    replacement: str = "<REDACTED>",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Pattern-based scrubbing — the PII-redaction stage of a curation
+    pipeline (emails/phones/ids in production; any RE2 pattern here):
+    -> (doc_id, n_hits, text_red). Pure Arrow kernels
+    (count_substring_regex + replace_substring_regex) — zero Python per
+    row, zero shuffles, and RE2 semantics shared with DuckDB's regexp
+    functions, which is what makes the driver oracle exact."""
+    import pyarrow.compute as pc
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(txt, pattern), pa.int64()
+                ),
+                "text_red": pc.replace_substring_regex(
+                    txt, pattern=pattern, replacement=replacement
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
 def decontaminate(
     docs: rd.Dataset,
     probe_ngrams: "list[str]",

@@ -80,6 +80,11 @@ def dense_key_map(
 
     def local_unique(batch: pa.Table) -> pa.Table:
         keys = pc.unique(batch.column(key_col))
+        if keys.null_count:
+            raise ValueError(
+                f"null key in {key_col!r}: string vertex keys must be "
+                "non-null (reference loader rejects null oids)"
+            )
         vpid = crc32_str(keys) % np.uint32(partitions)
         return pa.table(
             {"key": keys, "vpid": pa.array(vpid.astype(np.int32), pa.int32())}

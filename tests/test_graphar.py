@@ -94,3 +94,37 @@ def test_roundtrip_restores_graph(exported, ray_session):
     a = pg1.project(weight=True).to_pandas().sort_values(key).reset_index(drop=True)
     b = pg2.project(weight=True).to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_src_chunk_parts_roundtrip(ray_session, tmp_path):
+    """Parts whose src-chunk range has no out-edges still get their
+    empty adj_list chunk, zero edge_count and flat offsets (the parallel
+    per-part writer fills them in a driver post-pass), and the loader
+    round-trips the graph exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylinkgraph.pipelines.property_graph import PropertyGraph
+
+    v = rd.from_pandas(pd.DataFrame({"id": list(range(10))}))
+    e = rd.from_pandas(pd.DataFrame({"s": [0, 1, 0], "d": [5, 7, 9]}))
+    pg = (
+        PropertyGraph()
+        .add_vertices("n", v, "id")
+        .add_edges("e", e, "s", "d", src_label="n", dst_label="n")
+    )
+    d = str(tmp_path / "gar")
+    entry = save_to_graphar(pg, d, graph_name="g",
+                            vertex_chunk_size=2, edge_chunk_size=2)
+    edir = os.path.join(d, "edge", "n_e_n", "ordered_by_source")
+    counts = {
+        i: open(os.path.join(edir, f"edge_count{i}")).read() for i in range(5)
+    }
+    assert counts == {0: "3", 1: "0", 2: "0", 3: "0", 4: "0"}
+    offs0 = pq.read_table(os.path.join(edir, "offset", "chunk3"))
+    assert offs0.column(OFFSET_COL).to_pylist() == [0, 0, 0]
+    out = (
+        load_graphar(entry).project().to_pandas()
+        .sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[0, 5], [0, 9], [1, 7]]
