@@ -67,8 +67,6 @@ def test_rows_only_queries_run(ray_session):
     qs = entrymod.queries()
     no_oracle = set(qs) - set(entrymod.oracle_sql())
     for name in sorted(no_oracle):
-        if name == "pages_pagerank":
-            continue  # covered by entry() smoke below; expensive
         df = qs[name](SF)
         if not isinstance(df, pd.DataFrame):
             df = df.to_pandas()
