@@ -83,9 +83,10 @@ class Bracket:
         self.probes: dict[str, dict] = {}
         self.last = box_probe_mops()
 
-    def run(self, name: str, fn):
+    def run(self, name: str, fn, retries: int | None = None):
         attempts = []
-        for att in range(1 + max(0, SICK_RETRIES)):
+        r = SICK_RETRIES if retries is None else retries
+        for att in range(1 + max(0, r)):
             before = self.last
             t0 = time.time()
             val = fn(att)
@@ -284,6 +285,7 @@ def run_bench() -> dict:
         br.run(
             "sf1_generate_or_cache_pages",
             lambda att: generate_pages_parquet(pages1, n1, seed=SEED),
+            retries=0,
         )
         rd.read_parquet(pages1).count()
         tag1 = f"{n1}-c{NUM_CPUS}-{int(time.time())}"
@@ -299,7 +301,7 @@ def run_bench() -> dict:
                 write_text_table=True,
             )
 
-        g1, _ = br.run("sf1_build_extract_edges_csr", _build1)
+        g1, _ = br.run("sf1_build_extract_edges_csr", _build1, retries=0)
         # fixed 5 rounds: the NX N*tol criterion converges after ONE
         # round at 1.2M vertices, which would time startup, not iteration
         r1 = br.run(
@@ -310,12 +312,14 @@ def run_bench() -> dict:
                 os.path.join(BENCH_ROOT, f"ck-pr-{tag1}-a{att}"),
                 resume=False,
             ),
+            retries=0,
         )
         u1 = br.run(
             "sf1_build_undirected",
             lambda att: undirected_view(
                 g1, os.path.join(BENCH_ROOT, f"und-{tag1}-a{att}")
             ),
+            retries=0,
         )
         br.run(
             "sf1_wcc",
@@ -323,6 +327,7 @@ def run_bench() -> dict:
                 u1, WCC(), os.path.join(BENCH_ROOT, f"ck-wcc-{tag1}-a{att}"),
                 max_rounds=10_000, resume=False,
             ),
+            retries=0,
         )
         it1 = max(r1.iterate_sec, 1e-9)
         sf1 = {
